@@ -1,0 +1,19 @@
+"""gnark_tpu — a TPU-native zk-SNARK framework.
+
+A from-scratch reimagining of gnark (circuit frontend + Groth16/PLONK
+provers) where the cryptographic hot loops — Montgomery limb-plane field
+arithmetic, radix-2 coset NTT, Pippenger multi-scalar multiplication, KZG —
+run as JAX/XLA/Pallas programs on TPU, sharded over device meshes.
+
+Layer map (cf. reference SURVEY.md §1):
+  frontend/   circuit eDSL -> R1CS / sparse-R1CS IR (L4)
+  backend/    Groth16 & PLONK setup/prove/verify + witness (L2-L3)
+  std/        gadget standard library (L5)
+  fields/     FieldSpec registry (replaces per-curve codegen)
+  ops/        device kernels: limb field ops, NTT, EC, MSM (L1)
+  curves/     curve specs + host-side EC / pairing
+  parallel/   mesh sharding: distributed MSM/NTT over ICI
+  utils/      logging, conversion helpers
+"""
+
+__version__ = "0.1.0"

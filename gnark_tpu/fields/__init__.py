@@ -1,0 +1,55 @@
+"""Prime-field registry.
+
+Mirrors the role of gnark-crypto's per-curve fr/fp packages (reference
+SURVEY §2.9) but as data: one FieldSpec per field, all kernels generic.
+"""
+
+from gnark_tpu.fields.spec import FieldSpec, W, MASK
+
+# --- BN254 (alt_bn128) ----------------------------------------------------
+BN254_FR = FieldSpec(
+    name="bn254_fr",
+    modulus=21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    multiplicative_generator=5,
+)
+BN254_FP = FieldSpec(
+    name="bn254_fp",
+    modulus=21888242871839275222246405745257275088696311157297823662689037894645226208583,
+    multiplicative_generator=3,
+)
+
+# --- BLS12-381 -------------------------------------------------------------
+BLS12_381_FR = FieldSpec(
+    name="bls12_381_fr",
+    modulus=52435875175126190479447740508185965837690552500527637822603658699938581184513,
+    multiplicative_generator=7,
+)
+BLS12_381_FP = FieldSpec(
+    name="bls12_381_fp",
+    modulus=4002409555221667393417789825735904156556882819939007885332058136124031650490837864442687629129015664037894272559787,
+    multiplicative_generator=2,
+)
+
+# --- BLS12-377 -------------------------------------------------------------
+BLS12_377_FR = FieldSpec(
+    name="bls12_377_fr",
+    modulus=8444461749428370424248824938781546531375899335154063827935233455917409239041,
+    multiplicative_generator=22,
+)
+BLS12_377_FP = FieldSpec(
+    name="bls12_377_fp",
+    modulus=258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177,
+    multiplicative_generator=15,
+)
+
+ALL_FIELDS = {
+    f.name: f
+    for f in (BN254_FR, BN254_FP, BLS12_381_FR, BLS12_381_FP, BLS12_377_FR, BLS12_377_FP)
+}
+
+__all__ = [
+    "FieldSpec", "W", "MASK", "ALL_FIELDS",
+    "BN254_FR", "BN254_FP",
+    "BLS12_381_FR", "BLS12_381_FP",
+    "BLS12_377_FR", "BLS12_377_FP",
+]
