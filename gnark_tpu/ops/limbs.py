@@ -55,10 +55,17 @@ def _sub_borrow(a, b):
     return jnp.stack(out), borrow
 
 
+def _const_for(c, ndim):
+    """Reshape an [L] or [L, 1] numpy constant for broadcasting against
+    an [L, ...] operand with ndim total dims."""
+    c = np.asarray(c, np.uint32).reshape(-1)
+    return jnp.asarray(c.reshape((c.shape[0],) + (1,) * (ndim - 1)))
+
+
 def _cond_sub_p(x, p_limbs):
     """x - p if x >= p else x (x < 2p assumed; branchless)."""
-    diff, borrow = _sub_borrow(x, jnp.broadcast_to(jnp.asarray(p_limbs, _U32), x.shape))
-    return jnp.where((borrow == 0)[None, :], diff, x)
+    diff, borrow = _sub_borrow(x, jnp.broadcast_to(_const_for(p_limbs, x.ndim), x.shape))
+    return jnp.where((borrow == 0)[None], diff, x)
 
 
 class FieldOps:
@@ -92,11 +99,17 @@ class FieldOps:
 
     # -- constructors ------------------------------------------------------
 
-    def zeros(self, n: int):
-        return jnp.zeros((self.L, n), _U32)
+    def zeros(self, n):
+        shape = (n,) if isinstance(n, int) else tuple(n)
+        return jnp.zeros((self.L,) + shape, _U32)
 
-    def ones(self, n: int):
-        return jnp.broadcast_to(jnp.asarray(self._one), (self.L, n))
+    def ones(self, n):
+        shape = (n,) if isinstance(n, int) else tuple(n)
+        return jnp.broadcast_to(
+            _const_for(self._one, 1 + len(shape)), (self.L,) + shape)
+
+    def ones_like(self, a):
+        return jnp.broadcast_to(_const_for(self._one, a.ndim), a.shape)
 
     def const(self, value: int, n: int = 1):
         return jnp.broadcast_to(
@@ -117,14 +130,15 @@ class FieldOps:
         return _cond_sub_p(s, self._p)
 
     def sub(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
         d, borrow = _sub_borrow(a, b)
-        dp, _ = _propagate(d + jnp.asarray(self._p))
-        return jnp.where((borrow == 0)[None, :], d, dp)
+        dp, _ = _propagate(d + _const_for(self._p, d.ndim))
+        return jnp.where((borrow == 0)[None], d, dp)
 
     def neg(self, a):
-        d, _ = _sub_borrow(jnp.broadcast_to(jnp.asarray(self._p), a.shape), a)
+        d, _ = _sub_borrow(jnp.broadcast_to(_const_for(self._p, a.ndim), a.shape), a)
         # -0 must stay 0
-        return jnp.where(self.is_zero(a)[None, :], a, d)
+        return jnp.where(self.is_zero(a)[None], a, d)
 
     def double(self, a):
         return self.add(a, a)
@@ -140,20 +154,23 @@ class FieldOps:
     def _column_sums(self, parts, offset):
         """Anti-diagonal sums: out[k] = sum_i parts[i, k - i - offset].
 
-        parts: [L, L, n] -> [2L+1, n].  One pad + one gather + one reduce —
-        keeps the mul graph ~10x smaller than an unrolled schoolbook loop.
+        parts: [L, L, ...] -> [2L+1, ...].  One pad + one gather + one
+        reduce — keeps the mul graph ~10x smaller than an unrolled
+        schoolbook loop.
         """
         L = self.L
-        padded = jnp.pad(parts, ((0, 0), (0, L + 1), (0, 0)))  # [L, 2L+1, n]
-        idx = self._shift_idx
+        pad = ((0, 0), (0, L + 1)) + ((0, 0),) * (parts.ndim - 2)
+        padded = jnp.pad(parts, pad)  # [L, 2L+1, ...]
+        idx = self._shift_idx[:, :, 0]
         if offset:
             idx = np.concatenate([idx[:, -offset:], idx[:, :-offset]], axis=1)
+        idx = idx.reshape(idx.shape + (1,) * (parts.ndim - 2))
         shifted = jnp.take_along_axis(padded, jnp.asarray(idx), axis=1)
         return jnp.sum(shifted, axis=0)  # columns < 2^22: no uint32 overflow
 
-    def _mul_wide(self, a, b_const_or_arr):
-        """Full product columns [2L+1, n] (lazy, each < 2^22) of canonical inputs."""
-        prod = a[:, None, :] * b_const_or_arr[None, :, :]  # [L, L, n] exact 32-bit
+    def _mul_wide(self, a, b):
+        """Full product columns [2L+1, ...] (lazy, each < 2^22) of canonical inputs."""
+        prod = a[:, None] * b[None]  # [L, L, ...] exact 32-bit products
         lo = prod & _MASK
         hi = prod >> W
         return self._column_sums(lo, 0) + self._column_sums(hi, 1)
@@ -165,15 +182,13 @@ class FieldOps:
         u < 2p for canonical inputs, one conditional subtract finishes.
         """
         L = self.L
-        shape = (L,) + jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        a = jnp.broadcast_to(a, shape)
-        b = jnp.broadcast_to(b, shape)
+        a, b = jnp.broadcast_arrays(a, b)
 
-        t = self._mul_wide(a, b)                       # [2L+1, n]
+        t = self._mul_wide(a, b)                       # [2L+1, ...]
         t_low, c_low = _propagate(t[:L])               # canonical t mod R
-        m = self._mul_wide(t_low, jnp.asarray(self._pinv))
+        m = self._mul_wide(t_low, _const_for(self._pinv, a.ndim))
         m, _ = _propagate(m[:L])                       # m mod R, canonical
-        mp = self._mul_wide(m, jnp.asarray(self._p))
+        mp = self._mul_wide(m, _const_for(self._p, a.ndim))
 
         # u = (t + m*p)/R: low L columns of t+m*p are ≡ 0 mod R by
         # construction; all we need from them is their carry-out.
@@ -196,8 +211,8 @@ class FieldOps:
         return jnp.all(a == b, axis=0)
 
     def select(self, mask, a, b):
-        """mask [n] ? a : b  (elementwise over the batch axis)."""
-        return jnp.where(mask[None, :], a, b)
+        """mask [...] ? a : b  (elementwise over the batch axes)."""
+        return jnp.where(jnp.asarray(mask)[None], a, b)
 
     # -- inversion / exponentiation -------------------------------------------
 
@@ -208,7 +223,7 @@ class FieldOps:
         compiled graph stays one butterfly-body deep regardless of |e|.
         """
         if e == 0:
-            return self.ones(a.shape[1])
+            return self.ones_like(a)
         nbits = e.bit_length()
         bits = np.array([(e >> i) & 1 for i in range(nbits)], np.uint32)
 
@@ -218,7 +233,7 @@ class FieldOps:
             base = self.sqr(base)
             return (result, base), None
 
-        (result, _), _ = jax.lax.scan(body, (self.ones(a.shape[1]), a), bits)
+        (result, _), _ = jax.lax.scan(body, (self.ones_like(a), a), bits)
         return result
 
     def inv(self, a):
