@@ -1,0 +1,216 @@
+"""Multi-scalar multiplication (Pippenger) as a scatter-free TPU program.
+
+THE prover hot loop (reference: gnark-crypto G1Jac.MultiExp called from
+internal/backend/bn254/groth16/prove.go:160-241 with 4 concurrent MSMs).
+The reference's bucket method scatter-accumulates into per-task buckets —
+fast on CPUs, hostile to TPUs (no fast random scatter).  This kernel
+reformulates bucket accumulation as *sorted prefix sums*:
+
+  per window w (c-bit digits):
+    1. digits = bits [cw, cw+c) of each scalar; points at infinity get
+       digit 0 (bucket 0 is never used, so they vanish).
+    2. argsort by digit; gather points into sorted order.
+    3. within-lane prefix: reshape sorted points [R lanes, C = n/R];
+       lax.scan over C does R-wide mixed-adds -> running prefix per lane.
+       (work: n mixed adds, sequential depth C, fully vectorized.)
+    4. lane offsets: Hillis-Steele inclusive scan over the R lane totals
+       (log2(R) roll+add steps, one compiled body via lax.scan over the
+       shift schedule).
+    5. bucket sums by difference of prefixes at segment boundaries:
+       bucket_b = prefix(end_b) - prefix(start_b - 1), boundaries from
+       jnp.searchsorted on the sorted digits.  EC negation is free, so
+       "difference" is one add of a negated point.
+    6. S_w = sum_b b * bucket_b via a reverse (suffix) roll-scan plus a
+       forward roll-scan: Sum_b b*B_b = Sum_b suffix_b.
+  fold: Horner over windows, c doublings + 1 add per window (lax.scan).
+
+Multi-chip: points/scalars shard over the mesh batch axis; each chip
+computes its partial MSM and partials are tree-reduced with EC adds
+(see parallel/sharded_msm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnark_tpu.ops.ec import CurveOps
+
+
+def window_digits(scalars, c: int):
+    """uint32[Ls, n] regular-form scalars -> int32[nwin, n] window digits."""
+    Ls, n = scalars.shape[0], scalars.shape[1:]
+    total_bits = Ls * 16
+    nwin = -(-total_bits // c)
+    padded = jnp.concatenate(
+        [scalars, jnp.zeros((1,) + n, jnp.uint32)], axis=0)
+    mask = np.uint32((1 << c) - 1)
+    outs = []
+    for w in range(nwin):
+        q, sh = divmod(c * w, 16)
+        d = padded[q] >> np.uint32(sh)
+        if sh:
+            d = d | (padded[q + 1] << np.uint32(16 - sh))
+        outs.append(d & mask)
+    return jnp.stack(outs).astype(jnp.int32)
+
+
+def _roll_scan(G: CurveOps, P, n: int, reverse: bool = False):
+    """Inclusive prefix (or suffix) scan of a point batch with EC add.
+
+    Hillis-Steele with jnp.roll: one compiled add per lax.scan step,
+    log2(n) steps.  Identity (infinity) is injected by zeroing Z on
+    rolled-in lanes, which the unified add treats as the identity.
+    """
+    steps = max(1, (n - 1).bit_length())
+    shifts = jnp.asarray([1 << i for i in range(steps)], jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(P, shift):
+        X, Y, Z = P
+        r = -shift if reverse else shift
+        Q = (jnp.roll(X, r, axis=1), jnp.roll(Y, r, axis=1),
+             jnp.roll(Z, r, axis=1))
+        valid = (idx >= shift) if not reverse else (idx < n - shift)
+        Q = (Q[0], Q[1], jnp.where(valid[None], Q[2], 0))
+        return G.add(P, Q), None
+
+    P, _ = jax.lax.scan(body, P, shifts)
+    return P
+
+
+def _reduce(G: CurveOps, P, n: int):
+    """Sum of a point batch -> single point (prefix scan, take the end)."""
+    P = _roll_scan(G, P, n)
+    return tuple(a[:, -1:] for a in P)
+
+
+class MSM:
+    """A compiled MSM plan for a fixed (curve field ops, n, c, lanes)."""
+
+    def __init__(self, G: CurveOps, n: int, scalar_limbs: int,
+                 c: int | None = None, lanes: int | None = None):
+        self.G = G
+        self.n = n
+        if c is None:
+            # cost model: per window, leaf phase = n mixed adds (~11 muls),
+            # bucket phase = 2 roll-scans over 2^c buckets (~2c * 2^c full
+            # adds, ~26 muls each).  Choose c minimizing total over windows.
+            total_bits = scalar_limbs * 16
+
+            def cost(cc):
+                nwin = -(-total_bits // cc)
+                return nwin * (n * 11 + (2 * cc + 3) * (1 << cc) * 26)
+
+            c = min(range(2, 16), key=cost)
+        self.c = c
+        total_bits = scalar_limbs * 16
+        self.nwin = -(-total_bits // c)
+        if lanes is None:
+            # R lanes: wide enough to fill the VPU, small enough that the
+            # per-window lane-offset scan (R*log2(R) full adds) stays minor.
+            lanes = int(min(max(8, n // 64), 4096))
+        # pad n to a multiple of lanes
+        self.C = -(-n // lanes)
+        self.R = lanes
+        self.n_pad = self.C * self.R
+        self._fn = jax.jit(self._run)
+
+    def __call__(self, xs, ys, inf_mask, scalars):
+        """xs, ys: [L, n] affine coords; inf_mask: [n] bool;
+        scalars: [Ls, n] uint32 *regular form* limb planes.
+        Returns a single Jacobian point (coords [L, 1])."""
+        return self._fn(xs, ys, inf_mask, scalars)
+
+    def _run(self, xs, ys, inf_mask, scalars):
+        G, F = self.G, self.G.F
+        n, n_pad, R, C, c = self.n, self.n_pad, self.R, self.C, self.c
+        pad = n_pad - n
+        if pad:
+            zpad = jnp.zeros(xs.shape[:-1] + (pad,), xs.dtype)
+            xs = jnp.concatenate([xs, zpad], axis=-1)
+            ys = jnp.concatenate([ys, zpad], axis=-1)
+            inf_mask = jnp.concatenate(
+                [inf_mask, jnp.ones((pad,), bool)], axis=0)
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)],
+                axis=-1)
+
+        digits = window_digits(scalars, c)                  # [nwin, n_pad]
+        digits = jnp.where(inf_mask[None], 0, digits)
+
+        bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)      # buckets 1..2^c-1
+
+        def window_body(_, dig):
+            order = jnp.argsort(dig)
+            d_sorted = jnp.take(dig, order)
+            sx = jnp.take(xs, order, axis=-1)
+            sy = jnp.take(ys, order, axis=-1)
+            sinf = jnp.take(inf_mask, order)
+
+            # --- within-lane prefix (leaf mixed-adds) ---
+            sx_s = jnp.moveaxis(sx.reshape(sx.shape[:-1] + (R, C)), -1, 0)
+            sy_s = jnp.moveaxis(sy.reshape(sy.shape[:-1] + (R, C)), -1, 0)
+            si_s = jnp.moveaxis(sinf.reshape(R, C), -1, 0)   # [C, R]
+
+            def leaf(acc, t):
+                tx, ty, ti = t
+                acc = G.add_mixed(acc, (tx, ty), ti)
+                return acc, acc
+
+            totals, prefix = jax.lax.scan(leaf, G.inf(R), (sx_s, sy_s, si_s))
+            # prefix: tuple-of-coords stacked [C, L, R] -> flat [L, n_pad]
+            flat = tuple(
+                jnp.moveaxis(a, 0, -1).reshape(a.shape[1:-1] + (n_pad,))
+                for a in prefix)
+
+            # --- lane offsets (exclusive scan over lane totals) ---
+            incl = _roll_scan(G, totals, R)
+            offs = tuple(jnp.roll(a, 1, axis=-1) for a in incl)
+            offs = (offs[0], offs[1],
+                    offs[2].at[..., 0].set(0))               # lane 0: identity
+
+            # --- bucket sums from boundary prefixes ---
+            ends = jnp.searchsorted(d_sorted, bvals, side="right") - 1
+            starts = jnp.searchsorted(d_sorted, bvals, side="left") - 1
+
+            def prefix_total(i):
+                gi = jnp.maximum(i, 0)
+                P = tuple(jnp.take(a, gi, axis=-1) for a in flat)
+                O = tuple(jnp.take(a, gi // C, axis=-1) for a in offs)
+                T = G.add(P, O)
+                return (T[0], T[1], jnp.where((i >= 0)[None], T[2], 0))
+
+            buckets = G.add(prefix_total(ends), G.neg(prefix_total(starts)))
+
+            # --- S_w = sum_b b * bucket_b = sum of suffix sums ---
+            nb = (1 << c) - 1
+            suffix = _roll_scan(G, buckets, nb, reverse=True)
+            S_w = _reduce(G, suffix, nb)
+            return None, S_w
+
+        _, S = jax.lax.scan(window_body, None, digits)       # coords [nwin, L, 1]
+
+        # --- Horner fold over windows, top first ---
+        def fold(T, S_w):
+            T = jax.lax.fori_loop(0, c, lambda _, A: G.double(A), T)
+            return G.add(T, S_w), None
+
+        top = tuple(a[-1] for a in S)
+        rest = tuple(a[-2::-1] for a in S)
+        T, _ = jax.lax.scan(fold, top, rest)
+        return T
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_cache(G, n, scalar_limbs, c, lanes):
+    return MSM(G, n, scalar_limbs, c, lanes)
+
+
+def msm(G: CurveOps, xs, ys, inf_mask, scalars, c=None, lanes=None):
+    """One-shot MSM; plans are cached per (G, n, c, lanes)."""
+    plan = _msm_cache(G, xs.shape[-1], scalars.shape[0], c, lanes)
+    return plan(xs, ys, inf_mask, scalars)
