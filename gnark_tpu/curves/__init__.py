@@ -24,6 +24,7 @@ class CurveSpec:
     g1_gen: tuple          # (x, y) ints
     g2_gen: tuple          # ((x0, x1), (y0, y1)) int pairs
     fp2_beta: int          # u^2 = beta
+    fp6_xi: tuple = (0, 1)  # fp6 = fp2[v]/(v^3 - xi); xi = (c0, c1) in fp2
     x_param: int = 0       # BN/BLS curve parameter (for pairing)
     family: str = "bls"    # "bn" or "bls"
 
@@ -67,6 +68,7 @@ BN254 = CurveSpec(
          4082367875863433681332203403145435568316851327593401208105741076214120093531),
     ),
     fp2_beta=-1,
+    fp6_xi=(9, 1),
     x_param=4965661367192848881,
     family="bn",
 )
@@ -86,6 +88,7 @@ BLS12_381 = CurveSpec(
          927553665492332455747201965776037880757740193453592970025027978793976877002675564980949289727957565575433344219582),
     ),
     fp2_beta=-1,
+    fp6_xi=(1, 1),
     x_param=-15132376222941642752,  # -0xd201000000010000
     family="bls",
 )
@@ -105,6 +108,7 @@ BLS12_377 = CurveSpec(
          149157405641012693445398062341192467754805999074082136895788947234480009303640899064710353187729182149407503257491),
     ),
     fp2_beta=-5,
+    fp6_xi=(0, 1),
     x_param=9586122913090633729,
     family="bls",
 )
