@@ -143,37 +143,24 @@ class FieldOps:
     def double(self, a):
         return self.add(a, a)
 
-    @functools.cached_property
-    def _shift_idx(self):
-        """Gather indices that shift row i of an [L, 2L+1] matrix right by i."""
+    def _colsum(self, parts, offset):
+        """Anti-diagonal sums out[k] = sum_i parts[i, k - i - offset] via the
+        skew-reshape trick: pad rows to width 2L+2, flatten, truncate to
+        L*(2L+1), reshape [L, 2L+1] — row i lands shifted right by i.
+        Pure pad/reshape/slice/sum (4 cheap HLOs): keeps the compile time
+        of mul-heavy kernels (EC adds, MSM) tractable vs a gather graph."""
         L = self.L
-        k = np.arange(2 * L + 1)[None, :]
-        i = np.arange(L)[:, None]
-        return ((k - i) % (2 * L + 1)).astype(np.int32)[:, :, None]
-
-    def _column_sums(self, parts, offset):
-        """Anti-diagonal sums: out[k] = sum_i parts[i, k - i - offset].
-
-        parts: [L, L, ...] -> [2L+1, ...].  One pad + one gather + one
-        reduce — keeps the mul graph ~10x smaller than an unrolled
-        schoolbook loop.
-        """
-        L = self.L
-        pad = ((0, 0), (0, L + 1)) + ((0, 0),) * (parts.ndim - 2)
-        padded = jnp.pad(parts, pad)  # [L, 2L+1, ...]
-        idx = self._shift_idx[:, :, 0]
-        if offset:
-            idx = np.concatenate([idx[:, -offset:], idx[:, :-offset]], axis=1)
-        idx = idx.reshape(idx.shape + (1,) * (parts.ndim - 2))
-        shifted = jnp.take_along_axis(padded, jnp.asarray(idx), axis=1)
-        return jnp.sum(shifted, axis=0)  # columns < 2^22: no uint32 overflow
+        tail = parts.shape[2:]
+        padded = jnp.pad(parts, ((0, 0), (offset, L + 2 - offset)) +
+                         ((0, 0),) * len(tail))         # [L, 2L+2, ...]
+        flat = padded.reshape((L * (2 * L + 2),) + tail)
+        skewed = flat[: L * (2 * L + 1)].reshape((L, 2 * L + 1) + tail)
+        return jnp.sum(skewed, axis=0)
 
     def _mul_wide(self, a, b):
         """Full product columns [2L+1, ...] (lazy, each < 2^22) of canonical inputs."""
         prod = a[:, None] * b[None]  # [L, L, ...] exact 32-bit products
-        lo = prod & _MASK
-        hi = prod >> W
-        return self._column_sums(lo, 0) + self._column_sums(hi, 1)
+        return self._colsum(prod & _MASK, 0) + self._colsum(prod >> W, 1)
 
     def mul(self, a, b):
         """Montgomery product aR * bR -> abR mod p (separated REDC).
