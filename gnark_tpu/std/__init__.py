@@ -1,0 +1,16 @@
+"""Gadget standard library (the reference's std/, SURVEY §2.7).
+
+Gadgets are written against the frontend API so every gadget works with
+both the R1CS (Groth16) and SCS (PLONK) builders, and with the big-int
+test engine.
+"""
+
+from gnark_tpu.backend import hints as _hints
+
+
+def register_hints():
+    """Re-register all stdlib hints (std/hints.go:18 analog) — needed by
+    servers that solve deserialized constraint systems."""
+    # importing the modules registers their hints
+    from gnark_tpu.std import bits  # noqa: F401
+    return _hints.all_registered()

@@ -1,0 +1,179 @@
+"""Twisted Edwards curves over each snark scalar field: host ops + gadget.
+
+Reference: std/algebra/twistededwards/{twistededwards.go:36-96 (Curve
+iface + per-curve params), point.go:49-148 (add/double/scalarMul)}.
+Curve equation: a*x^2 + y^2 = 1 + d*x^2*y^2; identity is (0, 1); the
+unified addition law is complete for a square / d non-square, so the
+gadget needs no case analysis.
+
+Parameters: BN254 -> Baby Jubjub, BLS12-381 -> Jubjub (public standard
+parameters, matching gnark-crypto); BLS12-377 -> a=-1/d=3021 curve with a
+self-derived prime-order base point (gnark-crypto's base point constant
+is not in the reference tree; any prime-order generator is sound).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+
+@dataclasses.dataclass(frozen=True)
+class EdCurveParams:
+    name: str
+    field_modulus: int      # = snark curve fr modulus
+    a: int
+    d: int
+    order: int              # prime subgroup order
+    cofactor: int
+    base: tuple             # (x, y) generator of the prime subgroup
+
+
+_BN254_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+_BLS381_FR = 52435875175126190479447740508185965837690552500527637822603658699938581184513
+_BLS377_FR = 8444461749428370424248824938781546531375899335154063827935233455917409239041
+
+BABYJUBJUB = EdCurveParams(
+    name="babyjubjub", field_modulus=_BN254_FR,
+    a=168700, d=168696,
+    order=2736030358979909402780800718157159386076813972158567259200215660948447373041,
+    cofactor=8,
+    base=(5299619240641551281634865583518297030282874472190772894086521144482721001553,
+          16950150798460657717958625567821834550301663161624707787222815936182638968203),
+)
+
+JUBJUB = EdCurveParams(
+    name="jubjub", field_modulus=_BLS381_FR,
+    a=_BLS381_FR - 1,
+    d=19257038036680949359750312669786877991949435402254120286184196891950884077233,
+    order=6554484396890773809930967563523245729705921265872317281365359162392183254199,
+    cofactor=8,
+    base=(8076246640662884909881801758704306714034609987455869804520522091855516602923,
+          13262374693698910701929044844600465831413122818447359594527400194675274060458),
+)
+
+ED_BLS12_377 = EdCurveParams(
+    name="ed_bls12_377", field_modulus=_BLS377_FR,
+    a=_BLS377_FR - 1, d=3021,
+    order=2111115437357092606062206234695386632838870926408408195193685246394721360383,
+    cofactor=4,
+    base=(7279018103174704830341558250702936062054735624640695724226759270108502275270,
+          1865293112817394669182574302935627347817612693344214897596094546402701041397),
+)
+
+BY_SNARK_CURVE = {
+    "bn254": BABYJUBJUB,
+    "bls12_381": JUBJUB,
+    "bls12_377": ED_BLS12_377,
+}
+
+
+class EdHost:
+    """Host-int twisted Edwards group (witness generation / key gen)."""
+
+    def __init__(self, params: EdCurveParams):
+        self.p = params.field_modulus
+        self.params = params
+        self.identity = (0, 1)
+
+    def is_on_curve(self, P):
+        p, a, d = self.p, self.params.a, self.params.d
+        x, y = P
+        return (a * x * x + y * y) % p == (1 + d * x * x % p * y * y) % p
+
+    def add(self, P, Q):
+        p, a, d = self.p, self.params.a, self.params.d
+        x1, y1 = P
+        x2, y2 = Q
+        t = d * x1 * x2 % p * y1 * y2 % p
+        x3 = (x1 * y2 + y1 * x2) * pow(1 + t, -1, p) % p
+        y3 = (y1 * y2 - a * x1 * x2) * pow(1 - t, -1, p) % p
+        return (x3, y3)
+
+    def double(self, P):
+        return self.add(P, P)
+
+    def neg(self, P):
+        return ((-P[0]) % self.p, P[1])
+
+    def scalar_mul(self, P, k: int):
+        R, Q = self.identity, P
+        k %= self.params.order
+        while k:
+            if k & 1:
+                R = self.add(R, Q)
+            Q = self.add(Q, Q)
+            k >>= 1
+        return R
+
+    def validate(self):
+        assert self.is_on_curve(self.params.base)
+        assert self.scalar_mul(self.params.base, self.params.order) == self.identity
+
+
+@functools.lru_cache(maxsize=None)
+def host_curve(snark_curve_name: str) -> EdHost:
+    return EdHost(BY_SNARK_CURVE[snark_curve_name])
+
+
+# ---- circuit gadget -------------------------------------------------------------
+
+
+class EdCurve:
+    """In-circuit twisted Edwards ops (std/algebra/twistededwards/point.go)."""
+
+    def __init__(self, api):
+        self.api = api
+        self.params = BY_SNARK_CURVE[api.curve_id()]
+
+    def add(self, P, Q):
+        """P, Q: (x, y) variable pairs; unified complete addition."""
+        api, d, a = self.api, self.params.d, self.params.a
+        x1, y1 = P
+        x2, y2 = Q
+        x1y2 = api.mul(x1, y2)
+        y1x2 = api.mul(y1, x2)
+        y1y2 = api.mul(y1, y2)
+        x1x2 = api.mul(x1, x2)
+        t = api.mul(api.mul(x1x2, y1y2), d)
+        x3 = api.div_unchecked(api.add(x1y2, y1x2), api.add(t, 1))
+        y3 = api.div_unchecked(api.sub(y1y2, api.mul(x1x2, a)),
+                               api.sub(1, t))
+        return (x3, y3)
+
+    def double(self, P):
+        return self.add(P, P)
+
+    def neg(self, P):
+        return (self.api.neg(P[0]), P[1])
+
+    def assert_is_on_curve(self, P):
+        api, a, d = self.api, self.params.a, self.params.d
+        x, y = P
+        x2 = api.mul(x, x)
+        y2 = api.mul(y, y)
+        lhs = api.add(api.mul(x2, a), y2)
+        rhs = api.add(api.mul(api.mul(x2, y2), d), 1)
+        api.assert_is_equal(lhs, rhs)
+
+    def scalar_mul(self, P, scalar, nb_bits=None):
+        """Double-and-add over the scalar's bits (hint-decomposed)."""
+        api = self.api
+        if nb_bits is None:
+            # full fr width: callers pass fr elements (e.g. MiMC digests)
+            # that may exceed the subgroup order (eddsa.go:72 semantics)
+            nb_bits = api.bit_len()
+        bits = api.to_binary(scalar, nb_bits)
+        R = (api.mul(P[0], 0), api.add(api.mul(P[1], 0), 1))  # identity
+        Q = P
+        for i in range(nb_bits):
+            S = self.add(R, Q)
+            R = (api.select(bits[i], S[0], R[0]),
+                 api.select(bits[i], S[1], R[1]))
+            if i != nb_bits - 1:
+                Q = self.double(Q)
+        return R
+
+    def double_base_scalar_mul(self, P1, P2, s1, s2):
+        """s1*P1 + s2*P2 (point.go:148 DoubleBaseScalarMul semantics)."""
+        return self.add(self.scalar_mul(P1, s1), self.scalar_mul(P2, s2))

@@ -1,0 +1,178 @@
+"""Gadget stdlib tests: MiMC, Merkle, twisted Edwards, EdDSA, bits.
+
+Differential pattern from the reference (std/*_test.go): every gadget is
+checked against its host implementation through the big-int engine and
+the real solvers.
+"""
+
+import pytest
+
+from gnark_tpu import test_harness
+from gnark_tpu.curves import ALL_CURVES, BN254, BLS12_377, BLS12_381
+from gnark_tpu.frontend.schema import Circuit, Public, Secret
+from gnark_tpu.std import bits as std_bits
+from gnark_tpu.std import eddsa, merkle
+from gnark_tpu.std.mimc import MiMC, mimc_hash
+from gnark_tpu.std.twisted_edwards import BY_SNARK_CURVE, EdCurve, host_curve
+
+
+# ---- MiMC ----------------------------------------------------------------------
+
+
+class MiMCPreimage(Circuit):
+    pre = Secret()
+    h = Public()
+
+    def define(self, api):
+        m = MiMC(api)
+        m.write(self.pre)
+        api.assert_is_equal(self.h, m.sum())
+
+
+@pytest.mark.parametrize("name", sorted(ALL_CURVES))
+def test_mimc_host_circuit_consistency(name):
+    curve = ALL_CURVES[name]
+    a = MiMCPreimage()
+    a.pre = 12345
+    a.h = mimc_hash(curve, 12345)
+    test_harness.prover_succeeded(MiMCPreimage, a, curves=[curve])
+    bad = MiMCPreimage()
+    bad.pre = 12346
+    bad.h = a.h
+    test_harness.prover_failed(MiMCPreimage, bad, curves=[curve])
+
+
+def test_mimc_multi_write():
+    # Miyaguchi-Preneel chaining over several elements
+    class TwoElem(Circuit):
+        a = Secret()
+        b = Secret()
+        h = Public()
+
+        def define(self, api):
+            m = MiMC(api)
+            m.write(self.a, self.b)
+            api.assert_is_equal(self.h, m.sum())
+
+    x = TwoElem()
+    x.a, x.b = 7, 9
+    x.h = mimc_hash(BN254, 7, 9)
+    test_harness.prover_succeeded(TwoElem, x)
+
+
+# ---- Merkle --------------------------------------------------------------------
+
+
+def test_merkle_proof():
+    leaves = [10, 20, 30, 40, 50, 60, 70, 80]
+    rt = merkle.root(BN254, leaves)
+    proof, helper = merkle.prove(BN254, leaves, 5)
+
+    assert len(proof) == 4 and len(helper) == 3  # 8 leaves -> depth 3
+
+    class MerkleCircuit(Circuit):
+        root = Public()
+        proof = Secret(shape=(4,))
+        helper = Secret(shape=(3,))
+
+        def define(self, api):
+            merkle.verify_proof(api, self.root, self.proof, self.helper)
+
+    a = MerkleCircuit()
+    a.root, a.proof, a.helper = rt, proof, helper
+    test_harness.prover_succeeded(MerkleCircuit, a)
+
+    bad = MerkleCircuit()
+    bad.root = rt
+    bad.proof = [proof[0] + 1] + proof[1:]
+    bad.helper = helper
+    test_harness.prover_failed(MerkleCircuit, bad)
+
+
+# ---- twisted Edwards -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", sorted(BY_SNARK_CURVE))
+def test_ed_curve_params_valid(name):
+    host_curve(name).validate()
+
+
+def test_ed_scalar_mul_circuit_matches_host():
+    ed = host_curve("bn254")
+    B = ed.params.base
+    k = 0x1234567890ABCDEF
+    expect = ed.scalar_mul(B, k)
+
+    class ScalarMul(Circuit):
+        k = Secret()
+        x = Public()
+        y = Public()
+
+        def define(self, api):
+            c = EdCurve(api)
+            P = c.scalar_mul(c.params.base, self.k, nb_bits=64)
+            api.assert_is_equal(P[0], self.x)
+            api.assert_is_equal(P[1], self.y)
+
+    a = ScalarMul()
+    a.k, (a.x, a.y) = k, expect
+    test_harness.prover_succeeded(ScalarMul, a)
+
+
+# ---- EdDSA ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["bn254", "bls12_377"])
+def test_eddsa_sign_verify(name):
+    curve = ALL_CURVES[name]
+    kp = eddsa.KeyPair.generate(curve, b"seed-42")
+    msg = 1234567890123456789
+    sig = kp.sign(msg, curve)
+    assert eddsa.host_verify(sig, msg, kp.public, curve)
+    assert not eddsa.host_verify(sig, msg + 1, kp.public, curve)
+
+    class EdDSACircuit(Circuit):
+        msg = Public()
+        rx = Secret()
+        ry = Secret()
+        s = Secret()
+        ax = Secret()
+        ay = Secret()
+
+        def define(self, api):
+            eddsa.verify(api, (self.rx, self.ry), self.s, self.msg,
+                         (self.ax, self.ay))
+
+    a = EdDSACircuit()
+    a.msg = msg
+    a.rx, a.ry = sig.r
+    a.s = sig.s
+    a.ax, a.ay = kp.public
+    # scalar-mul gadgets are large: solver-level check, groth16 only
+    test_harness.prover_succeeded(EdDSACircuit, a, curves=[curve],
+                                  schemes=["groth16"])
+
+    bad = EdDSACircuit()
+    bad.msg = msg + 1
+    bad.rx, bad.ry = sig.r
+    bad.s = sig.s
+    bad.ax, bad.ay = kp.public
+    test_harness.prover_failed(EdDSACircuit, bad, curves=[curve],
+                               schemes=["groth16"])
+
+
+# ---- bits ----------------------------------------------------------------------
+
+
+def test_ternary_and_naf():
+    class Ternary(Circuit):
+        v = Secret()
+        w = Public()
+
+        def define(self, api):
+            std_bits.to_ternary(api, self.v, nb_trits=12)
+            std_bits.to_naf(api, self.w, nb_digits=12)
+
+    a = Ternary()
+    a.v, a.w = 3 ** 11 - 5, 1000
+    test_harness.prover_succeeded(Ternary, a)
