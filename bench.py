@@ -1,0 +1,82 @@
+"""Benchmark entry point (driver-run, real TPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: G1 MSM throughput (points/s) at n = 2^16 — THE Groth16
+prover hot loop (SURVEY §3.2: MSM is ~75% of prove at scale;
+internal/backend/bn254/groth16/prove.go:155-241).  vs_baseline is the
+ratio against gnark's published-order CPU throughput (~1.7e6 points/s on
+a 64-core x86 host for BN254 G1 MultiExp), the BASELINE.md north-star
+config 4 proxy.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+GNARK_CPU_MSM_POINTS_PER_S = 1.7e6  # 64-core x86 order-of-magnitude anchor
+
+
+def main():
+    from gnark_tpu.backend.groth16 import ints_to_limbs
+    from gnark_tpu.curves import BN254
+    from gnark_tpu.ops.ec import CurveOps
+    from gnark_tpu.ops.limbs import field_ops
+    from gnark_tpu.ops.msm import MSM
+
+    n = 1 << 16
+    curve = BN254
+    fp = field_ops(curve.fp)
+    G = CurveOps(fp)
+    host = curve.host_g1
+
+    # points: random multiples of the generator via doubling chain (host,
+    # cheap); scalars: full-width random
+    rng = np.random.default_rng(7)
+    base_pts = []
+    P = curve.g1_gen
+    for _ in range(64):
+        base_pts.append(P)
+        P = host.double(P)
+    # tile the 64 distinct points; MSM correctness doesn't need distinctness
+    xs_h = [p[0] for p in base_pts]
+    ys_h = [p[1] for p in base_pts]
+    reps = n // 64
+    xs = jnp.tile(fp.pack(xs_h), (1, reps))
+    ys = jnp.tile(fp.pack(ys_h), (1, reps))
+    inf = jnp.zeros((n,), bool)
+    scalars = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
+    sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
+
+    plan = MSM(G, n, curve.fr.L)
+    out = plan(xs, ys, inf, sc)  # compile + first run
+    jax.block_until_ready(out)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = plan(xs, ys, inf, sc)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    pts_per_s = n / dt
+    print(json.dumps({
+        "metric": "msm_g1_bn254_2e16_points_per_s",
+        "value": round(pts_per_s),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_s / GNARK_CPU_MSM_POINTS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

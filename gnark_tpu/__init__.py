@@ -17,3 +17,21 @@ Layer map (cf. reference SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the limb-plane kernels are expensive to
+# compile (tens of seconds per shape); every entry point shares this cache.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"))
+
+
+def _enable_compilation_cache():
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+_enable_compilation_cache()

@@ -7,7 +7,9 @@ must be hermetic and validate multi-chip sharding on host devices
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the ambient environment points JAX at the axon TPU tunnel
+# (JAX_PLATFORMS=axon); tests must run on the local CPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

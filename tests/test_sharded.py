@@ -1,0 +1,62 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8).
+
+The reference has no multi-node tests (SURVEY §4); these validate the
+TPU build's mesh path: sharded MSM result == single-chip MSM == host MSM.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from gnark_tpu.backend.groth16 import ints_to_limbs
+from gnark_tpu.curves import BN254
+from gnark_tpu.ops.ec import CurveOps
+from gnark_tpu.ops.limbs import field_ops
+from gnark_tpu.ops.msm import msm
+from gnark_tpu.parallel.sharded_msm import sharded_msm
+
+
+@pytest.fixture(scope="module")
+def setup_points():
+    rng = np.random.default_rng(0)
+    curve = BN254
+    n = 64
+    host = curve.host_g1
+    scalars = [int(rng.integers(1, 1 << 62)) * int(rng.integers(1, 1 << 62))
+               for _ in range(n)]
+    points = [host.scalar_mul(curve.g1_gen, 3 + 2 * i) for i in range(n)]
+    expected = host.msm(points, scalars)
+
+    fp = field_ops(curve.fp)
+    xs = fp.pack([p[0] for p in points])
+    ys = fp.pack([p[1] for p in points])
+    inf = jax.numpy.zeros((n,), bool)
+    sc = jax.numpy.asarray(ints_to_limbs(scalars, curve.fr.L))
+    return curve, fp, xs, ys, inf, sc, expected
+
+
+def _to_host_affine(curve, fp, P):
+    G = CurveOps(fp)
+    x, y, inf = G.to_affine(P)
+    if bool(np.asarray(inf)[0]):
+        return None
+    return (fp.unpack(x)[0], fp.unpack(y)[0])
+
+
+def test_sharded_msm_matches_host(setup_points):
+    curve, fp, xs, ys, inf, sc, expected = setup_points
+    G = CurveOps(fp)
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("shard",))
+    ndev = mesh.shape["shard"]
+    assert ndev == 8
+    result = sharded_msm(G, mesh, "shard", xs, ys, inf, sc, c=4, lanes=8)
+    assert _to_host_affine(curve, fp, result) == expected
+
+
+def test_sharded_matches_single_chip(setup_points):
+    curve, fp, xs, ys, inf, sc, expected = setup_points
+    G = CurveOps(fp)
+    single = msm(G, xs, ys, inf, sc, c=4, lanes=8)
+    assert _to_host_affine(curve, fp, single) == expected
