@@ -322,6 +322,26 @@ def setup(cs, curve, rng=None):
     return pk, vk
 
 
+def dummy_setup(cs, curve) -> ProvingKey:
+    """Fake proving key (all points = small multiples of the generators)
+    for prover benchmarking without a real trusted setup — DummySetup
+    analog (internal/backend/bn254/groth16/setup.go:411).  Proofs made
+    with it do NOT verify."""
+    K = _CurveKernels(curve)
+    n = _next_pow2(cs.nb_constraints)
+    nw = cs.nb_wires
+    n_pad = _next_pow2(max(nw, n, 2))
+    g1, g2 = curve.g1_gen, curve.g2_gen
+    g1_pts = K.g1_points_to_device([g1] * n_pad)
+    g1_aff = (g1_pts[0], g1_pts[1], g1_pts[2])
+    g2_pts = K.g2_points_to_device([g2] * n_pad)
+    return ProvingKey(
+        curve=curve, domain_n=n, n_pad=n_pad,
+        alpha_g1=g1, beta_g1=g1, delta_g1=g1,
+        beta_g2=g2, delta_g2=g2,
+        A=g1_aff, B1=g1_aff, B2=g2_pts, K=g1_aff, Z=g1_aff)
+
+
 # ---- prove ----------------------------------------------------------------------
 
 

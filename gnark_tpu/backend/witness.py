@@ -69,3 +69,20 @@ class Witness:
     def to_json(self) -> str:
         names = self.public_names + self.secret_names
         return json.dumps({n: str(v) for n, v in zip(names, self.values)})
+
+    @classmethod
+    def from_json(cls, text: str, field_modulus: int, public_names: list,
+                  secret_names: list):
+        """Inverse of to_json: values resolved by leaf name
+        (backend/witness/witness.go:158 UnmarshalJSON analog)."""
+        data = json.loads(text)
+        names = list(public_names) + list(secret_names)
+        vals = [int(data[n], 0) % field_modulus for n in names
+                if n in data]
+        if len(vals) != len(names):
+            missing = [n for n in names if n not in data]
+            raise ValueError(f"witness json missing leaves: {missing}")
+        return cls(values=vals, nb_public=len(public_names),
+                   field_modulus=field_modulus,
+                   public_names=list(public_names),
+                   secret_names=list(secret_names))

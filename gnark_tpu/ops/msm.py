@@ -88,6 +88,11 @@ def _reduce(G: CurveOps, P, n: int):
     return tuple(a[:, -1:] for a in P)
 
 
+# below this size the windowed plan's compile cost dwarfs its runtime
+# advantage: use the vectorized double-and-add ladder instead
+LADDER_THRESHOLD = 512
+
+
 class MSM:
     """A compiled MSM plan for a fixed (curve field ops, n, c, lanes)."""
 
@@ -95,6 +100,12 @@ class MSM:
                  c: int | None = None, lanes: int | None = None):
         self.G = G
         self.n = n
+        self.scalar_limbs = scalar_limbs
+        if n <= LADDER_THRESHOLD and c is None and lanes is None:
+            self.c = self.nwin = self.R = self.C = self.n_pad = None
+            self._impl = self._run_ladder
+            self._fn = jax.jit(self._impl)
+            return
         if c is None:
             # cost model: per window, leaf phase = n mixed adds (~11 muls),
             # bucket phase = 2 roll-scans over 2^c buckets (~2c * 2^c full
@@ -117,13 +128,39 @@ class MSM:
         self.C = -(-n // lanes)
         self.R = lanes
         self.n_pad = self.C * self.R
-        self._fn = jax.jit(self._run)
+        self._impl = self._run
+        self._fn = jax.jit(self._impl)
 
     def __call__(self, xs, ys, inf_mask, scalars):
         """xs, ys: [L, n] affine coords; inf_mask: [n] bool;
         scalars: [Ls, n] uint32 *regular form* limb planes.
         Returns a single Jacobian point (coords [L, 1])."""
         return self._fn(xs, ys, inf_mask, scalars)
+
+    def _run_ladder(self, xs, ys, inf_mask, scalars):
+        """Small-n path: per-point double-and-add ladder vectorized over
+        the point batch, then one batch reduction.  One scan body (1
+        double + 1 masked mixed-add) -> minutes less XLA compile time
+        than the windowed plan; runtime is fine below ~512 points."""
+        G = self.G
+        n = xs.shape[-1]
+        total_bits = self.scalar_limbs * 16
+        # bits [total_bits, n], MSB first
+        limb = jax.lax.broadcasted_iota(
+            jnp.int32, (total_bits, 1), 0) // 16
+        shift = (jax.lax.broadcasted_iota(
+            jnp.int32, (total_bits, 1), 0) % 16).astype(jnp.uint32)
+        gathered = jnp.take(scalars, limb[:, 0], axis=0)   # [bits, n]
+        bits = (gathered >> shift) & jnp.uint32(1)
+        bits = jnp.flip(bits, axis=0)                      # MSB first
+
+        def step(acc, bit_row):
+            acc = G.double(acc)
+            sel = (bit_row == 0) | inf_mask
+            return G.add_mixed(acc, (xs, ys), sel), None
+
+        acc, _ = jax.lax.scan(step, G.inf(n), bits)
+        return _reduce(G, acc, n)
 
     def _run(self, xs, ys, inf_mask, scalars):
         G, F = self.G, self.G.F

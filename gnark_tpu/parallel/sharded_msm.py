@@ -37,7 +37,7 @@ class ShardedMSM:
         self.local_plan = MSM(G, n // ndev, scalar_limbs, c, lanes)
 
         def local(xs, ys, inf, scalars):
-            partial = self.local_plan._run(xs, ys, inf, scalars)
+            partial = self.local_plan._impl(xs, ys, inf, scalars)
             # all-gather the per-chip partial points (tiny) and fold
             gathered = tuple(
                 jnp.moveaxis(jax.lax.all_gather(a, axis), 0, -1)
