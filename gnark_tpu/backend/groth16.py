@@ -97,7 +97,8 @@ class ProvingKey:
     B1: tuple               # G1
     B2: tuple               # (x, y, inf) fp2 coords, G2
     K: tuple                # private wires only, G1
-    Z: tuple                # n-1 points, bit-reversed order, G1
+    Z: tuple                # n points, bit-reversed order, G1
+    host: bool = False      # host point lists instead of device arrays
 
 
 @dataclasses.dataclass
@@ -237,8 +238,41 @@ def _sampler(rng):
     return lambda q: rng.randrange(q)
 
 
-def setup(cs, curve, rng=None):
-    """-> (ProvingKey, VerifyingKey)."""
+def _host_ntt(vals, omega, q, inverse=False):
+    """Iterative radix-2 NTT on host ints (tiny-circuit / host-path use)."""
+    n = len(vals)
+    a = [v % q for v in vals]
+    # bit-reversal permutation
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    w_base = pow(omega, -1, q) if inverse else omega
+    length = 2
+    while length <= n:
+        wl = pow(w_base, n // length, q)
+        for start in range(0, n, length):
+            w = 1
+            for k in range(start, start + length // 2):
+                u, v = a[k], a[k + length // 2] * w % q
+                a[k] = (u + v) % q
+                a[k + length // 2] = (u - v) % q
+                w = w * wl % q
+        length <<= 1
+    if inverse:
+        ninv = pow(n, -1, q)
+        a = [x * ninv % q for x in a]
+    return a
+
+
+def setup(cs, curve, rng=None, host=False):
+    """-> (ProvingKey, VerifyingKey).  host=True computes key points with
+    host scalar muls (slow; tiny circuits / no-device environments)."""
     q = curve.fr.modulus
     rnd = _sampler(rng)
 
@@ -271,24 +305,37 @@ def setup(cs, curve, rng=None):
         t = t * tau % q
     zs_brev = [zs[i] for i in bit_reverse_perm(n)]
 
-    K = _CurveKernels(curve)
-    Ls = curve.fr.L
-    fb1 = K.fixed_base_g1(curve.g1_gen)
-    fb2 = K.fixed_base_g2(curve.g2_gen)
-
     # one padded shape for every G1 batch -> ONE compiled kernel serves
     # A/B1/K/Z (and the prover reuses the same padded MSM plan shape)
     n_pad = _next_pow2(max(nw, n, 2))
+    Ls = curve.fr.L
 
-    def g1_batch(scalars):
-        scalars = scalars + [0] * (n_pad - len(scalars))  # 0 -> infinity
-        pts = fb1(jnp.asarray(ints_to_limbs(scalars, Ls)))
-        return K.g1.to_affine(pts)
+    if host:
+        host1, host2h = curve.host_g1, curve.host_g2
 
-    def g2_batch(scalars):
-        scalars = scalars + [0] * (n_pad - len(scalars))
-        pts = fb2(jnp.asarray(ints_to_limbs(scalars, Ls)))
-        return K.g2.to_affine(pts)
+        def g1_batch(scalars):
+            return [None if s % q == 0
+                    else host1.scalar_mul(curve.g1_gen, s % q)
+                    for s in scalars + [0] * (n_pad - len(scalars))]
+
+        def g2_batch(scalars):
+            return [None if s % q == 0
+                    else host2h.scalar_mul(curve.g2_gen, s % q)
+                    for s in scalars + [0] * (n_pad - len(scalars))]
+    else:
+        K = _CurveKernels(curve)
+        fb1 = K.fixed_base_g1(curve.g1_gen)
+        fb2 = K.fixed_base_g2(curve.g2_gen)
+
+        def g1_batch(scalars):
+            scalars = scalars + [0] * (n_pad - len(scalars))  # 0 -> inf
+            pts = fb1(jnp.asarray(ints_to_limbs(scalars, Ls)))
+            return K.g1.to_affine(pts)
+
+        def g2_batch(scalars):
+            scalars = scalars + [0] * (n_pad - len(scalars))
+            pts = fb2(jnp.asarray(ints_to_limbs(scalars, Ls)))
+            return K.g2.to_affine(pts)
 
     A_pts = g1_batch(A)
     B1_pts = g1_batch(B)
@@ -310,7 +357,7 @@ def setup(cs, curve, rng=None):
     e_ab = pairing_for(curve).pair(alpha_g1, beta_g2)
 
     pk = ProvingKey(
-        curve=curve, domain_n=n, n_pad=n_pad,
+        curve=curve, domain_n=n, n_pad=n_pad, host=host,
         alpha_g1=alpha_g1, beta_g1=beta_g1, delta_g1=delta_g1,
         beta_g2=beta_g2, delta_g2=delta_g2,
         A=A_pts, B1=B1_pts, B2=B2_pts, K=K_pts, Z=Z_pts)
@@ -365,14 +412,75 @@ def _compute_h(domain: Domain, a, b, c):
     return domain.ifft(h, "DIF", coset=True)
 
 
+def _prove_host(cs, pk, sol, rnd):
+    """Pure-host prover core (tiny circuits / platform-independent
+    protocol tests): same math as the device path, python ints."""
+    curve = pk.curve
+    q = curve.fr.modulus
+    n = pk.domain_n
+    spec = curve.fr
+    omega = spec.root_of_unity(n)
+    g = spec.multiplicative_generator % q
+
+    def pad(v):
+        return [x % q for x in v] + [0] * (n - len(v))
+
+    def coset_evals(vals):
+        coeffs = _host_ntt(pad(vals), omega, q, inverse=True)
+        shifted = [c * pow(g, i, q) % q for i, c in enumerate(coeffs)]
+        return _host_ntt(shifted, omega, q)
+
+    ae, be, ce = (coset_evals(v) for v in (sol.a, sol.b, sol.c))
+    den = pow(pow(g, n, q) - 1, -1, q)
+    he = [(a * b - c) % q * den % q for a, b, c in zip(ae, be, ce)]
+    h_shift = _host_ntt(he, omega, q, inverse=True)
+    ginv = pow(g, -1, q)
+    h = [c * pow(ginv, i, q) % q for i, c in enumerate(h_shift)]
+    h_brev = [h[i] for i in bit_reverse_perm(n)]
+
+    host1, host2 = curve.host_g1, curve.host_g2
+
+    def hmsm(points, scalars):
+        acc = None
+        for P, s in zip(points, scalars):
+            if P is not None and s % q:
+                acc = host1.add(acc, host1.scalar_mul(P, s % q))
+        return acc
+
+    wires = sol.values
+    r, s = rnd(q), rnd(q)
+    ar_p = hmsm(pk.A, wires)
+    bs1_p = hmsm(pk.B1, wires)
+    bs2_p = None
+    for P, sv in zip(pk.B2, wires):
+        if P is not None and sv % q:
+            bs2_p = host2.add(bs2_p, host2.scalar_mul(P, sv % q))
+    krs_p = hmsm(pk.K, wires[cs.nb_public:])
+    krsz_p = hmsm(pk.Z, h_brev)
+
+    ar = host1.add(host1.add(ar_p, pk.alpha_g1),
+                   host1.scalar_mul(pk.delta_g1, r))
+    bs1 = host1.add(host1.add(bs1_p, pk.beta_g1),
+                    host1.scalar_mul(pk.delta_g1, s))
+    bs = host2.add(host2.add(bs2_p, pk.beta_g2),
+                   host2.scalar_mul(pk.delta_g2, s))
+    krs = host1.add(krs_p, krsz_p)
+    krs = host1.add(krs, host1.scalar_mul(ar, s))
+    krs = host1.add(krs, host1.scalar_mul(bs1, r))
+    krs = host1.add(krs, host1.scalar_mul(pk.delta_g1, (-r * s) % q))
+    return Proof(ar=ar, bs=bs, krs=krs)
+
+
 def prove(cs, pk, witness_values, rng=None, check: bool = True) -> Proof:
     """witness_values: [public (no one-wire) | secret] ints."""
     curve = pk.curve
     q = curve.fr.modulus
-    K = _CurveKernels(curve)
     rnd = _sampler(rng)
 
     sol = solve(cs, witness_values, check=check)
+    if pk.host:
+        return _prove_host(cs, pk, sol, rnd)
+    K = _CurveKernels(curve)
     n = pk.domain_n
     Ls = curve.fr.L
 

@@ -242,6 +242,51 @@ def vk_to_bytes(vk) -> bytes:
     return b"".join(out)
 
 
+def plonk_proof_to_bytes(proof, curve) -> bytes:
+    """PLONK proof: 7 G1 commitments | 6 evals | z(wz) | 2 opening proofs
+    (native layout; the reference's plonk marshal.go is per-curve gnark
+    format — PLONK cross-serialization parity is not a BASELINE target)."""
+    c = PointCodec(curve)
+    nb = (curve.fr.modulus.bit_length() + 7) // 8
+    out = [c.g1_to_bytes(p) for p in
+           (proof.c_l, proof.c_r, proof.c_o, proof.c_z,
+            proof.c_h1, proof.c_h2, proof.c_h3)]
+    for v in proof.evals + [proof.z_omega_zeta]:
+        out.append(int(v).to_bytes(nb, "big"))
+    out.append(c.g1_to_bytes(proof.w_zeta))
+    out.append(c.g1_to_bytes(proof.w_zeta_omega))
+    return b"".join(out)
+
+
+def plonk_proof_from_bytes(data: bytes, curve):
+    from gnark_tpu.backend.plonk import PlonkProof
+    c = PointCodec(curve)
+    n1 = c.g1_compressed_size()
+    nb = (curve.fr.modulus.bit_length() + 7) // 8
+    off = 0
+
+    def g1():
+        nonlocal off
+        P = c.g1_from_bytes(data[off:off + n1])
+        off += n1
+        return P
+
+    def fr():
+        nonlocal off
+        v = int.from_bytes(data[off:off + nb], "big")
+        off += nb
+        return v
+
+    pts = [g1() for _ in range(7)]
+    evals = [fr() for _ in range(6)]
+    zw = fr()
+    w1, w2 = g1(), g1()
+    return PlonkProof(c_l=pts[0], c_r=pts[1], c_o=pts[2], c_z=pts[3],
+                      c_h1=pts[4], c_h2=pts[5], c_h3=pts[6],
+                      evals=evals, w_zeta=w1, z_omega_zeta=zw,
+                      w_zeta_omega=w2)
+
+
 def vk_from_bytes(data: bytes, curve):
     from gnark_tpu.backend.groth16 import VerifyingKey
     from gnark_tpu.curves.pairing import pairing_for

@@ -114,3 +114,18 @@ BLS12_377 = CurveSpec(
 )
 
 ALL_CURVES = {c.name: c for c in (BN254, BLS12_381, BLS12_377)}
+
+
+@dataclasses.dataclass(frozen=True)
+class OuterCurveSpec:
+    """Frontend-only curve descriptor for 2-chain outer curves: circuits
+    over its scalar field can express the inner curve's base-field math
+    natively (recursion, std/groth16_bls12377).  Full proving backends
+    for BW6 curves (761-bit fp, embedding degree 6 pairing) are a
+    separate work item."""
+    name: str
+    fr: FieldSpec
+
+
+# BW6-761's scalar field IS BLS12-377's base field (the 2-chain property)
+BW6_761 = OuterCurveSpec(name="bw6_761", fr=fields.BLS12_377_FP)
