@@ -35,6 +35,7 @@ from gnark_tpu.ops.limbs import field_ops
 from gnark_tpu.ops.msm import msm
 from gnark_tpu.ops.ntt import Domain, bit_reverse_perm
 from gnark_tpu.ops.towers import fp2_ops
+from gnark_tpu.utils import profiling
 from gnark_tpu.utils.logging import logger
 
 
@@ -477,7 +478,8 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True) -> Proof:
     q = curve.fr.modulus
     rnd = _sampler(rng)
 
-    sol = solve(cs, witness_values, check=check)
+    with profiling.phase("groth16.solve"):
+        sol = solve(cs, witness_values, check=check)
     if pk.host:
         return _prove_host(cs, pk, sol, rnd)
     K = _CurveKernels(curve)
@@ -489,11 +491,12 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True) -> Proof:
         return K.fr.to_mont(jnp.asarray(arr))
 
     domain = _domain_cache(curve.fr, n)
-    h_brev = K.fr.from_mont(
-        _compute_h(domain, padded_mont(sol.a), padded_mont(sol.b),
-                   padded_mont(sol.c)))
-    n_pad = pk.n_pad
-    h_brev = jnp.pad(h_brev, ((0, 0), (0, n_pad - n)))
+    with profiling.phase("groth16.compute_h"):
+        h_brev = K.fr.from_mont(
+            _compute_h(domain, padded_mont(sol.a), padded_mont(sol.b),
+                       padded_mont(sol.c)))
+        n_pad = pk.n_pad
+        h_brev = jnp.pad(h_brev, ((0, 0), (0, n_pad - n)))
 
     def scalars_padded(vals):
         return jnp.asarray(
@@ -504,12 +507,13 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True) -> Proof:
 
     r, s = rnd(q), rnd(q)
 
-    # 4 MSMs of identical G1 shape -> one compiled plan serves all three
-    ar_j = msm(K.g1, *pk.A, wires)
-    bs1_j = msm(K.g1, *pk.B1, wires)
-    bs2_j = msm(K.g2, *pk.B2, wires)
-    krs_pk = msm(K.g1, *pk.K, priv)
-    krs_z = msm(K.g1, *pk.Z, h_brev)
+    with profiling.phase("groth16.msm"):
+        # 4 MSMs of identical G1 shape -> one compiled plan serves three
+        ar_j = msm(K.g1, *pk.A, wires)
+        bs1_j = msm(K.g1, *pk.B1, wires)
+        bs2_j = msm(K.g2, *pk.B2, wires)
+        krs_pk = msm(K.g1, *pk.K, priv)
+        krs_z = msm(K.g1, *pk.Z, h_brev)
 
     # host assembly (small): fold in blinding terms r, s
     host1, host2 = curve.host_g1, curve.host_g2
