@@ -94,9 +94,10 @@ class PointCodec:
         self.curve = curve
         self.p = curve.fp.modulus
         self.nbytes = (curve.fp.modulus.bit_length() + 7) // 8
-        # zcash-style 3-bit flags for 381-bit fields (3 spare bits);
-        # gnark 2-bit flags for fields flush with the byte boundary
-        self.zcash = (curve.fp.modulus.bit_length() % 8) != 0
+        # zcash-style 3-bit flags need >= 3 spare top bits (BLS12-381:
+        # 384-381); gnark 2-bit flags otherwise (BN254: 256-254 = 2)
+        spare = 8 * self.nbytes - curve.fp.modulus.bit_length()
+        self.zcash = spare >= 3
 
     # ---- G1 -----------------------------------------------------------------
 
