@@ -37,7 +37,8 @@ class SRS:
         return K.g1_points_to_device(self.g1)
 
 
-def new_srs(curve, size: int, tau: int | None = None, rng=None) -> SRS:
+def new_srs(curve, size: int, tau: int | None = None, rng=None,
+            host: bool = False) -> SRS:
     """Deterministic test SRS (tau fixed or rng-sampled) — the analog of
     the reference's cached test SRS (test/kzg_srs.go:35: NewSRS(..., big
     fixed seed)).  Production SRS would come from a ceremony file."""
@@ -46,19 +47,19 @@ def new_srs(curve, size: int, tau: int | None = None, rng=None) -> SRS:
         import secrets
         tau = (rng.randrange(q) if rng is not None else secrets.randbelow(q))
     host1, host2 = curve.host_g1, curve.host_g2
-    # host powers-of-tau scalar ladder (setup-time; device batch kernel is
-    # used for the per-circuit keys, this is one-time per SRS size)
-    from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
-    K = _CurveKernels(curve)
     powers, t = [], 1
     for _ in range(size):
         powers.append(t)
         t = t * tau % q
-    fb = K.fixed_base_g1(curve.g1_gen)
-    pts = fb(jnp.asarray(ints_to_limbs(powers, curve.fr.L)))
-    g1 = K.g1_to_host(pts)
-    # tau^0 * G = G exactly
-    g1[0] = curve.g1_gen
+    if host:
+        g1 = [host1.scalar_mul(curve.g1_gen, p) for p in powers]
+    else:
+        from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
+        K = _CurveKernels(curve)
+        fb = K.fixed_base_g1(curve.g1_gen)
+        pts = fb(jnp.asarray(ints_to_limbs(powers, curve.fr.L)))
+        g1 = K.g1_to_host(pts)
+        g1[0] = curve.g1_gen  # tau^0 * G exactly
     return SRS(curve=curve, g1=g1, g2_gen=curve.g2_gen,
                g2_tau=host2.scalar_mul(curve.g2_gen, tau))
 
@@ -72,18 +73,25 @@ def commit_device(srs: SRS, coeffs_regular):
     return msm(K.g1, xs[:, :k], ys[:, :k], inf[:k], coeffs_regular)
 
 
-def commit(srs: SRS, coeffs: list):
+def commit(srs: SRS, coeffs: list, host: bool = False):
     """Host int coefficients -> host affine commitment point."""
-    from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
-    K = _CurveKernels(srs.curve)
     if not coeffs:
         return None
     q = srs.curve.fr.modulus
+    if host:
+        host1 = srs.curve.host_g1
+        acc = None
+        for P, c in zip(srs.g1, coeffs):
+            if c % q:
+                acc = host1.add(acc, host1.scalar_mul(P, c % q))
+        return acc
+    from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
+    K = _CurveKernels(srs.curve)
     arr = jnp.asarray(ints_to_limbs(coeffs, srs.curve.fr.L, q=q))
     return K.g1_to_host(commit_device(srs, arr))[0]
 
 
-def open_poly(srs: SRS, coeffs: list, z: int):
+def open_poly(srs: SRS, coeffs: list, z: int, host: bool = False):
     """-> (value p(z), proof [q(tau)]G1) with q = (p - p(z))/(X - z),
     by Horner/synthetic division (host)."""
     q = srs.curve.fr.modulus
@@ -93,7 +101,7 @@ def open_poly(srs: SRS, coeffs: list, z: int):
         acc = (acc * z + coeffs[i]) % q
         quotient[i - 1] = acc
     value = (acc * z + coeffs[0]) % q
-    return value, commit(srs, quotient)
+    return value, commit(srs, quotient, host=host)
 
 
 def fold_polys(polys: list, gamma: int, q: int) -> list:

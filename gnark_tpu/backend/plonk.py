@@ -70,12 +70,14 @@ class PlonkPK:
     # sigma slot values (host ints, 3 lists of n) and omega powers
     sigma_vals: tuple
     omega_pows: list
-    # device 4n-coset bit-reversed evaluations
+    # 4n-coset evaluations: device planes in bit-reversed order, or
+    # host int lists in natural order when host_mode
     sel_E: tuple            # (qlE, qrE, qmE, qoE, qcE)
     sig_E: tuple            # (s1E, s2E, s3E)
     x_E: object             # coset points
     zh_inv_E: object        # 1 / Z_H on the coset
     l1_E: object            # Lagrange L1 on the coset
+    host_mode: bool = False
 
 
 @dataclasses.dataclass
@@ -90,7 +92,78 @@ class PlonkProof:
     w_zeta_omega: tuple     # opening proof of Z at omega*zeta
 
 
-# ---- device poly helpers ------------------------------------------------------
+# ---- poly helpers (device + host variants) --------------------------------------
+
+
+class _HostVecF:
+    """Pointwise mod-q ops on python int lists (host quotient path);
+    scalars broadcast (ints mix with lists)."""
+
+    def __init__(self, q):
+        self.q = q
+
+    def _bc(self, a, b):
+        if isinstance(a, int) and isinstance(b, list):
+            a = [a] * len(b)
+        elif isinstance(b, int) and isinstance(a, list):
+            b = [b] * len(a)
+        return a, b
+
+    def add(self, a, b):
+        a, b = self._bc(a, b)
+        return [(x + y) % self.q for x, y in zip(a, b)]
+
+    def sub(self, a, b):
+        a, b = self._bc(a, b)
+        return [(x - y) % self.q for x, y in zip(a, b)]
+
+    def mul(self, a, b):
+        a, b = self._bc(a, b)
+        return [x * y % self.q for x, y in zip(a, b)]
+
+    def ones_like(self, a):
+        return [1] * len(a)
+
+
+class _HostPoly:
+    """Host-int polynomial helper with the same interface as _Poly
+    (natural-order coset layout; order only has to be self-consistent)."""
+
+    _cache = {}
+
+    def __new__(cls, spec, n):
+        key = (spec.name, n)
+        if key not in cls._cache:
+            self = super().__new__(cls)
+            self.spec = spec
+            self.n = n
+            self.q = spec.modulus
+            self.omega = spec.root_of_unity(n)
+            self.omega4 = spec.root_of_unity(4 * n)
+            self.coset = spec.multiplicative_generator % self.q
+            self.F = _HostVecF(self.q)
+            cls._cache[key] = self
+        return cls._cache[key]
+
+    def interpolate(self, evals):
+        from gnark_tpu.backend.groth16 import _host_ntt
+        q = self.q
+        vals = [v % q for v in evals] + [0] * (self.n - len(evals))
+        return _host_ntt(vals, self.omega, q, inverse=True)
+
+    def eval_coset4(self, coeffs):
+        from gnark_tpu.backend.groth16 import _host_ntt
+        q = self.q
+        c = [v % q for v in coeffs] + [0] * (4 * self.n - len(coeffs))
+        shifted = [v * pow(self.coset, i, q) % q for i, v in enumerate(c)]
+        return _host_ntt(shifted, self.omega4, q)
+
+    def interp_coset4(self, evals):
+        from gnark_tpu.backend.groth16 import _host_ntt
+        q = self.q
+        coeffs = _host_ntt(list(evals), self.omega4, q, inverse=True)
+        cinv = pow(self.coset, -1, q)
+        return [v * pow(cinv, i, q) % q for i, v in enumerate(coeffs)]
 
 
 class _Poly:
@@ -144,15 +217,17 @@ class _Poly:
 # ---- setup -----------------------------------------------------------------------
 
 
-def setup(cs, curve, srs: kzg.SRS | None = None, rng=None):
+def setup(cs, curve, srs: kzg.SRS | None = None, rng=None,
+          host: bool = False):
     """-> (PlonkPK, PlonkVK).  srs: a kzg.SRS of size >= n+3 (test SRS is
-    generated when omitted — plonk.Setup(ccs, kzgSRS) analog)."""
+    generated when omitted — plonk.Setup(ccs, kzgSRS) analog).
+    host=True: pure-host math (tiny circuits / protocol tests)."""
     q = cs.field_modulus
     ell = cs.nb_public
     m = cs.nb_constraints
     n = _next_pow2(ell + m)
     if srs is None:
-        srs = kzg.new_srs(curve, n + 3, rng=rng)
+        srs = kzg.new_srs(curve, n + 3, rng=rng, host=host)
     assert len(srs.g1) >= n + 3, "SRS too small for this circuit"
 
     coeffs = cs.coeffs
@@ -187,8 +262,8 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None):
             perm[s] = slots[(i + 1) % len(slots)]
 
     # sigma slot values: id(s) = k_col * omega^row
-    P = _Poly(curve.fr, n)
-    omega = P.domain.omega
+    P = _HostPoly(curve.fr, n) if host else _Poly(curve.fr, n)
+    omega = curve.fr.root_of_unity(n)
     omega_pows = [1] * n
     for i in range(1, n):
         omega_pows[i] = omega_pows[i - 1] * omega % q
@@ -207,7 +282,7 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None):
                                     for v in (ql, qr, qm, qo, qc))
     s1_c, s2_c, s3_c = (P.interpolate(v) for v in sigma_vals)
 
-    commits = [kzg.commit(srs, c)
+    commits = [kzg.commit(srs, c, host=host)
                for c in (ql_c, qr_c, qm_c, qo_c, qc_c, s1_c, s2_c, s3_c)]
 
     vk = PlonkVK(
@@ -216,10 +291,10 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None):
         c_qc=commits[4], c_s1=commits[5], c_s2=commits[6], c_s3=commits[7],
         g2_gen=srs.g2_gen, g2_tau=srs.g2_tau, g1_gen=curve.g1_gen)
 
-    # 4n coset precomputations (bit-reversed layout)
+    # 4n coset precomputations
     brev4 = bit_reverse_perm(4 * n)
     coset = curve.fr.multiplicative_generator % q
-    w4 = P.domain4.omega
+    w4 = curve.fr.root_of_unity(4 * n)
     x_nat = [0] * (4 * n)
     t = coset
     for i in range(4 * n):
@@ -235,9 +310,12 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None):
     l1_den = _batch_inv_host([(x - 1) % q for x in x_nat], q)
     l1_full = [(zh_full[i] * ninv % q) * l1_den[i] % q for i in range(4 * n)]
 
-    def dev_brev(vals):
-        reordered = [vals[i] for i in brev4]
-        return P.pack(reordered, 4 * n)
+    if host:
+        def layout(vals):
+            return list(vals)  # natural order, int lists
+    else:
+        def layout(vals):
+            return P.pack([vals[i] for i in brev4], 4 * n)
 
     pk = PlonkPK(
         curve=curve, srs=srs, vk=vk, n=n, ell=ell, k1=k1, k2=k2,
@@ -247,9 +325,10 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None):
         sel_E=tuple(P.eval_coset4(c)
                     for c in (ql_c, qr_c, qm_c, qo_c, qc_c)),
         sig_E=tuple(P.eval_coset4(c) for c in (s1_c, s2_c, s3_c)),
-        x_E=dev_brev(x_nat),
-        zh_inv_E=dev_brev(zh_inv),
-        l1_E=dev_brev(l1_full))
+        x_E=layout(x_nat),
+        zh_inv_E=layout(zh_inv),
+        l1_E=layout(l1_full),
+        host_mode=host)
     logger.info(f"plonk setup: {m} gates, {ell} public, domain {n}")
     return pk, vk
 
@@ -261,11 +340,11 @@ def _point_bytes(p) -> bytes:
     """Uncompressed big-endian point encoding for transcript binding
     (deriveRandomness analog, verify.go:290-308)."""
     if p is None:
-        return b"\x00" * 64
+        return b"\x00" * 96
     def enc(c):
         if isinstance(c, tuple):
             return b"".join(x.to_bytes(48, "big") for x in c)
-        return c.to_bytes(32, "big")
+        return c.to_bytes(48, "big")
     return enc(p[0]) + enc(p[1])
 
 
@@ -284,7 +363,8 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     curve = pk.curve
     q = curve.fr.modulus
     n, ell = pk.n, pk.ell
-    P = _Poly(curve.fr, n)
+    host = pk.host_mode
+    P = _HostPoly(curve.fr, n) if host else _Poly(curve.fr, n)
     rnd = _sampler(rng)
 
     sol = scs_solver.solve(cs, witness_values, check=check)
@@ -307,9 +387,9 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     r_c = blind(P.interpolate(rv), 2)
     o_c = blind(P.interpolate(ov), 2)
 
-    c_l = kzg.commit(pk.srs, l_c)
-    c_r = kzg.commit(pk.srs, r_c)
-    c_o = kzg.commit(pk.srs, o_c)
+    c_l = kzg.commit(pk.srs, l_c, host=host)
+    c_r = kzg.commit(pk.srs, r_c, host=host)
+    c_o = kzg.commit(pk.srs, o_c, host=host)
 
     fs = Transcript(*CHALLENGES)
     _bind_public_data(fs, pk.vk, public_inputs)
@@ -337,7 +417,7 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
         assert z[n - 1] * num[n - 1] % q * den_inv[n - 1] % q == 1, \
             "permutation argument accumulator must close"
     z_c = blind(P.interpolate(z), 3)
-    c_z = kzg.commit(pk.srs, z_c)
+    c_z = kzg.commit(pk.srs, z_c, host=host)
     fs.bind("alpha", _point_bytes(c_z))
     alpha = fs.challenge_int("alpha", q)
 
@@ -358,12 +438,15 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     pi_vals = public_inputs + [0] * (n - ell)
     piE = P.eval_coset4(P.interpolate(pi_vals))
 
-    def const(v):
-        return P.pack([v % q], 1)
+    if host:
+        def const(v):
+            return v % q
+    else:
+        def const(v):
+            return P.pack([v % q], 1)
 
     gammaP, betaP, alphaP = const(gamma), const(beta), const(alpha)
     k1P, k2P = const(pk.k1), const(pk.k2)
-    one = F.ones(1)
 
     gate = F.add(F.add(F.add(F.mul(qlE, lE), F.mul(qrE, rE)),
                        F.add(F.mul(F.mul(qmE, lE), rE), F.mul(qoE, oE))),
@@ -385,9 +468,9 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
         assert all(v == 0 for v in t_c[3 * n + 6:]), "quotient degree overflow"
     h1, h2, h3 = (t_c[0:n + 2], t_c[n + 2:2 * n + 4],
                   t_c[2 * n + 4:3 * n + 6])
-    c_h1 = kzg.commit(pk.srs, h1)
-    c_h2 = kzg.commit(pk.srs, h2)
-    c_h3 = kzg.commit(pk.srs, h3)
+    c_h1 = kzg.commit(pk.srs, h1, host=host)
+    c_h2 = kzg.commit(pk.srs, h2, host=host)
+    c_h3 = kzg.commit(pk.srs, h3, host=host)
     for c in (c_h1, c_h2, c_h3):
         fs.bind("zeta", _point_bytes(c))
     zeta = fs.challenge_int("zeta", q)
@@ -450,10 +533,10 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     _, w_zeta = kzg.open_poly(
         pk.srs,
         kzg.fold_polys([r_poly, l_c, r_c, o_c, pk.s1_c, pk.s2_c], eta, q),
-        zeta)
+        zeta, host=host)
     # the folded claimed value must also be subtracted; open_poly already
     # divides exactly because fold(values) = folded(zeta)
-    _, w_zw = kzg.open_poly(pk.srs, z_c, zeta * omega % q)
+    _, w_zw = kzg.open_poly(pk.srs, z_c, zeta * omega % q, host=host)
 
     return PlonkProof(
         c_l=c_l, c_r=c_r, c_o=c_o, c_z=c_z,

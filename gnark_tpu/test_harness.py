@@ -44,7 +44,7 @@ def prover_succeeded(circuit_cls, valid_assignment, curves=(BN254,),
                 sol = solver.solve(cs, pub + sec)
                 if full:
                     rng = random.Random(rng_seed)
-                    pk, vk = groth16.setup(cs, curve, rng=rng)
+                    pk, vk = groth16.setup(cs, curve, rng=rng, host=True)
                     proof = groth16.prove(cs, pk, pub + sec, rng=rng)
                     if not groth16.verify(proof, vk, pub):
                         raise AssertionError_(
@@ -53,7 +53,7 @@ def prover_succeeded(circuit_cls, valid_assignment, curves=(BN254,),
                 sol = scs_solver.solve(cs, pub + sec)
                 if full:
                     rng = random.Random(rng_seed)
-                    pk, vk = plonk.setup(cs, curve, rng=rng)
+                    pk, vk = plonk.setup(cs, curve, rng=rng, host=True)
                     proof = plonk.prove(cs, pk, pub + sec, rng=rng)
                     if not plonk.verify(proof, vk, pub):
                         raise AssertionError_(

@@ -1,0 +1,88 @@
+"""PLONK end-to-end: compile -> setup -> prove -> verify
+(plonk_test.go analog; host prover path for CI speed — device kernels
+are covered by the NTT/MSM kernel tests and slow-marked e2e)."""
+
+import random
+
+import pytest
+
+from gnark_tpu.backend import plonk, scs_solver
+from gnark_tpu.curves import ALL_CURVES, BN254
+from gnark_tpu.examples.cubic import CubicCircuit
+from gnark_tpu.examples.mimc import MiMCCircuit
+from gnark_tpu.frontend.compile import compile_circuit
+from gnark_tpu.std.mimc import mimc_hash
+
+
+@pytest.fixture(scope="module")
+def cubic_bn254():
+    cs = compile_circuit(CubicCircuit(), BN254, scheme="plonk")
+    rng = random.Random(21)
+    pk, vk = plonk.setup(cs, BN254, rng=rng, host=True)
+    return cs, pk, vk
+
+
+def test_prove_verify(cubic_bn254):
+    cs, pk, vk = cubic_bn254
+    proof = plonk.prove(cs, pk, [35, 3], rng=random.Random(1))
+    assert plonk.verify(proof, vk, [35])
+
+
+def test_reject_wrong_public(cubic_bn254):
+    cs, pk, vk = cubic_bn254
+    proof = plonk.prove(cs, pk, [35, 3], rng=random.Random(2))
+    assert not plonk.verify(proof, vk, [36])
+
+
+def test_reject_tampered_proof(cubic_bn254):
+    cs, pk, vk = cubic_bn254
+    q = BN254.fr.modulus
+    proof = plonk.prove(cs, pk, [35, 3], rng=random.Random(3))
+    proof.evals[2] = (proof.evals[2] + 1) % q
+    assert not plonk.verify(proof, vk, [35])
+    proof2 = plonk.prove(cs, pk, [35, 3], rng=random.Random(4))
+    proof2.z_omega_zeta = (proof2.z_omega_zeta + 1) % q
+    assert not plonk.verify(proof2, vk, [35])
+
+
+def test_proof_serialization_roundtrip(cubic_bn254):
+    from gnark_tpu.backend import serialize
+    cs, pk, vk = cubic_bn254
+    proof = plonk.prove(cs, pk, [35, 3], rng=random.Random(5))
+    blob = serialize.plonk_proof_to_bytes(proof, BN254)
+    proof2 = serialize.plonk_proof_from_bytes(blob, BN254)
+    assert plonk.verify(proof2, vk, [35])
+
+
+@pytest.mark.parametrize("name", sorted(ALL_CURVES))
+def test_all_curves(name):
+    curve = ALL_CURVES[name]
+    cs = compile_circuit(CubicCircuit(), curve, scheme="plonk")
+    rng = random.Random(6)
+    pk, vk = plonk.setup(cs, curve, rng=rng, host=True)
+    proof = plonk.prove(cs, pk, [35, 3], rng=rng)
+    assert plonk.verify(proof, vk, [35])
+    assert not plonk.verify(proof, vk, [34])
+
+
+def test_mimc_circuit_plonk():
+    """A hint-using, multi-hundred-gate circuit through the PLONK path."""
+    cs = compile_circuit(MiMCCircuit(), BN254, scheme="plonk")
+    h = mimc_hash(BN254, 42)
+    assert scs_solver.is_solved(cs, [h, 42])
+    rng = random.Random(7)
+    pk, vk = plonk.setup(cs, BN254, rng=rng, host=True)
+    proof = plonk.prove(cs, pk, [h, 42], rng=rng)
+    assert plonk.verify(proof, vk, [h])
+    assert not plonk.verify(proof, vk, [(h + 1) % BN254.fr.modulus])
+
+
+def test_shared_srs_across_circuits():
+    """One SRS serves every circuit that fits (kzg ceremony reuse)."""
+    from gnark_tpu.backend import kzg
+    srs = kzg.new_srs(BN254, 1 << 7, tau=123456789, host=True)
+    for scheme_circuit in (CubicCircuit(),):
+        cs = compile_circuit(scheme_circuit, BN254, scheme="plonk")
+        pk, vk = plonk.setup(cs, BN254, srs=srs, host=True)
+        proof = plonk.prove(cs, pk, [35, 3], rng=random.Random(8))
+        assert plonk.verify(proof, vk, [35])
