@@ -472,8 +472,13 @@ def _prove_host(cs, pk, sol, rnd):
     return Proof(ar=ar, bs=bs, krs=krs)
 
 
-def prove(cs, pk, witness_values, rng=None, check: bool = True) -> Proof:
-    """witness_values: [public (no one-wire) | secret] ints."""
+def prove(cs, pk, witness_values, rng=None, check: bool = True,
+          mesh=None, mesh_axis: str = "shard") -> Proof:
+    """witness_values: [public (no one-wire) | secret] ints.
+
+    mesh: a jax.sharding.Mesh — the proof MSMs shard their point/scalar
+    vectors over `mesh_axis` (parallel/sharded_msm; the NbTasks analog,
+    SURVEY §2.8 P3)."""
     curve = pk.curve
     q = curve.fr.modulus
     rnd = _sampler(rng)
@@ -508,12 +513,24 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True) -> Proof:
     r, s = rnd(q), rnd(q)
 
     with profiling.phase("groth16.msm"):
+        if mesh is not None:
+            from gnark_tpu.parallel.sharded_msm import ShardedMSM
+            p1 = ShardedMSM(K.g1, mesh, mesh_axis, n_pad, Ls)
+            p2 = ShardedMSM(K.g2, mesh, mesh_axis, n_pad, Ls)
+            run_g1, run_g2 = p1, p2
+        else:
+            def run_g1(x, y, i, s):
+                return msm(K.g1, x, y, i, s)
+
+            def run_g2(x, y, i, s):
+                return msm(K.g2, x, y, i, s)
+
         # 4 MSMs of identical G1 shape -> one compiled plan serves three
-        ar_j = msm(K.g1, *pk.A, wires)
-        bs1_j = msm(K.g1, *pk.B1, wires)
-        bs2_j = msm(K.g2, *pk.B2, wires)
-        krs_pk = msm(K.g1, *pk.K, priv)
-        krs_z = msm(K.g1, *pk.Z, h_brev)
+        ar_j = run_g1(*pk.A, wires)
+        bs1_j = run_g1(*pk.B1, wires)
+        bs2_j = run_g2(*pk.B2, wires)
+        krs_pk = run_g1(*pk.K, priv)
+        krs_z = run_g1(*pk.Z, h_brev)
 
     # host assembly (small): fold in blinding terms r, s
     host1, host2 = curve.host_g1, curve.host_g2
