@@ -276,16 +276,31 @@ class Pairing:
         return f_total
 
     def final_exp(self, f) -> tuple:
-        """f^((p^12 - 1)/r): easy part via conj/frob, hard part by plain
-        square-and-multiply of (p^4 - p^2 + 1)/r (generic, both families)."""
+        """f^((p^12 - 1)/r): easy part via conj/frob; hard part by the
+        BLS12 x-chain (p^4-p^2+1)/r = (u-1)^2 (u+p)(u^2+p^2-1) + 3
+        (Hayashida et al.), generic square-and-multiply for BN."""
         K = self.fp12
         p, r = self.curve.fp.modulus, self.curve.fr.modulus
         # easy: f^(p^6 - 1) then ^(p^2 + 1)
         f = K.mul(K.conj(f), K.inv(f))
         f = K.mul(K.frob(K.frob(f)), f)
-        # hard
-        d = (p ** 4 - p ** 2 + 1) // r
-        return K.pow(f, d)
+        if self.curve.family != "bls":
+            return K.pow(f, (p ** 4 - p ** 2 + 1) // r)
+        # hard part, cyclotomic subgroup: inverse == conjugate
+        u = self.curve.x_param
+
+        def powu(x, e):
+            """x^e for signed e; inverse is conjugation here."""
+            out = K.pow(x, abs(e))
+            return K.conj(out) if e < 0 else out
+
+        t0 = K.mul(powu(f, u), K.conj(f))           # f^(u-1)
+        t0 = K.mul(powu(t0, u), K.conj(t0))         # f^((u-1)^2)
+        t0 = K.mul(powu(t0, u), K.frob(t0))         # ^(u+p)
+        t0 = K.mul(K.mul(powu(powu(t0, u), u),      # ^(u^2+p^2-1)
+                         K.frob(K.frob(t0))),
+                   K.conj(t0))
+        return K.mul(t0, K.mul(K.sqr(f), f))        # * f^3
 
     def pair(self, P, Q) -> tuple:
         """Full pairing e(P, Q) in GT (fp12)."""

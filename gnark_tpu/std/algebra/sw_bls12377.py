@@ -220,15 +220,24 @@ class PairingGadget:
         return f_total
 
     def final_exp(self, f):
-        """f^((p^12-1)/r): easy part (conj/frobenius), hard part by
-        fixed-exponent square-and-multiply of (p^4 - p^2 + 1)/r.
-        (The reference uses the x-chain cyclotomic form — fewer
-        constraints; generic exponent kept for round-1 correctness.)"""
+        """f^(3(p^12-1)/r): easy part (conj/frobenius), hard part by the
+        BLS12 x-chain (u-1)^2 (u+p)(u^2+p^2-1) + 3 — matches the host
+        pairing (curves/pairing.py) exactly.  In the cyclotomic subgroup
+        the unitary inverse is conjugation (1 constraint-free negate)."""
         K = self.e12
         f = K.mul(K.conjugate(f), K.inverse(f))
         f = K.mul(K.frobenius(K.frobenius(f)), f)
-        d = (FP ** 4 - FP ** 2 + 1) // FR
-        return K.pow_const(f, d)
+
+        def powu(x):
+            return K.pow_const(x, X_PARAM)
+
+        t0 = K.mul(powu(f), K.conjugate(f))                 # f^(u-1)
+        t0 = K.mul(powu(t0), K.conjugate(t0))               # ^(u-1)
+        t0 = K.mul(powu(t0), K.frobenius(t0))               # ^(u+p)
+        t0 = K.mul(K.mul(powu(powu(t0)),                    # ^(u^2+p^2-1)
+                         K.frobenius(K.frobenius(t0))),
+                   K.conjugate(t0))
+        return K.mul(t0, K.mul(K.sqr(f), f))                # * f^3
 
     def pair(self, P, Q):
         return self.final_exp(self.miller_loop([(P, Q)]))
