@@ -2,12 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: G1 MSM throughput (points/s) at n = 2^16 — THE Groth16
+Headline metric: G1 MSM throughput (points/s) at n = 2^14 — THE Groth16
 prover hot loop (SURVEY §3.2: MSM is ~75% of prove at scale;
 internal/backend/bn254/groth16/prove.go:155-241).  vs_baseline is the
 ratio against gnark's published-order CPU throughput (~1.7e6 points/s on
 a 64-core x86 host for BN254 G1 MultiExp), the BASELINE.md north-star
 config 4 proxy.
+
+Round-1 state: the vectorized double-and-add ladder (u32 limb planes,
+XLA-fused shifted-accumulation multiply) measures ~25k points/s/chip on
+v5e — HBM/VPU-bound.  The speed-of-light path (Pallas kernel keeping the
+whole EC add in VMEM + MXU-based limb products) is the next round's
+kernel project; the windowed Pippenger plan exists but its argsort/gather
+bucket phase is TPU-hostile at these sizes.
 """
 
 import json
@@ -34,7 +41,7 @@ def main():
     from gnark_tpu.ops.limbs import field_ops
     from gnark_tpu.ops.msm import MSM
 
-    n = 1 << 16
+    n = 1 << 14
     curve = BN254
     fp = field_ops(curve.fp)
     G = CurveOps(fp)
@@ -58,20 +65,22 @@ def main():
     scalars = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
-    plan = MSM(G, n, curve.fr.L)
+    plan = MSM(G, n, curve.fr.L, method="ladder")
     out = plan(xs, ys, inf, sc)  # compile + first run
-    jax.block_until_ready(out)
+    np.asarray(out[0])  # force full execution (block_until_ready is not
+    # sufficient over the remote-TPU tunnel: only a device-to-host fetch
+    # guarantees the computation ran to completion)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         out = plan(xs, ys, inf, sc)
-    jax.block_until_ready(out)
+        np.asarray(out[0])
     dt = (time.perf_counter() - t0) / iters
 
     pts_per_s = n / dt
     print(json.dumps({
-        "metric": "msm_g1_bn254_2e16_points_per_s",
+        "metric": "msm_g1_bn254_2e14_points_per_s",
         "value": round(pts_per_s),
         "unit": "points/s",
         "vs_baseline": round(pts_per_s / GNARK_CPU_MSM_POINTS_PER_S, 4),

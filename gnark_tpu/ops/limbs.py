@@ -143,24 +143,26 @@ class FieldOps:
     def double(self, a):
         return self.add(a, a)
 
-    def _colsum(self, parts, offset):
-        """Anti-diagonal sums out[k] = sum_i parts[i, k - i - offset] via the
-        skew-reshape trick: pad rows to width 2L+2, flatten, truncate to
-        L*(2L+1), reshape [L, 2L+1] — row i lands shifted right by i.
-        Pure pad/reshape/slice/sum (4 cheap HLOs): keeps the compile time
-        of mul-heavy kernels (EC adds, MSM) tractable vs a gather graph."""
-        L = self.L
-        tail = parts.shape[2:]
-        padded = jnp.pad(parts, ((0, 0), (offset, L + 2 - offset)) +
-                         ((0, 0),) * len(tail))         # [L, 2L+2, ...]
-        flat = padded.reshape((L * (2 * L + 2),) + tail)
-        skewed = flat[: L * (2 * L + 1)].reshape((L, 2 * L + 1) + tail)
-        return jnp.sum(skewed, axis=0)
-
     def _mul_wide(self, a, b):
-        """Full product columns [2L+1, ...] (lazy, each < 2^22) of canonical inputs."""
-        prod = a[:, None] * b[None]  # [L, L, ...] exact 32-bit products
-        return self._colsum(prod & _MASK, 0) + self._colsum(prod >> W, 1)
+        """Full product columns [2L+1, ...] (lazy, each < 2^22) of
+        canonical inputs.
+
+        Unrolled shifted accumulation: for each limb i of `a`, the row
+        product a_i * b contributes to columns [i, i+L) (lo parts) and
+        [i+1, i+L+1) (hi parts).  Static pads + adds only — every op is
+        elementwise, so XLA fuses the entire multiply into surrounding
+        kernels without materializing an [L, L, n] intermediate (the
+        HBM-traffic killer of outer-product formulations)."""
+        L = self.L
+        tail_pad = ((0, 0),) * (b.ndim - 1)
+        cols = None
+        for i in range(L):
+            prod = a[i][None] * b          # [L, ...] exact 32-bit products
+            lo = jnp.pad(prod & _MASK, ((i, L + 1 - i),) + tail_pad)
+            hi = jnp.pad(prod >> W, ((i + 1, L - i),) + tail_pad)
+            contrib = lo + hi
+            cols = contrib if cols is None else cols + contrib
+        return cols
 
     def mul(self, a, b):
         """Montgomery product aR * bR -> abR mod p (separated REDC).

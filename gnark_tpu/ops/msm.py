@@ -97,11 +97,15 @@ class MSM:
     """A compiled MSM plan for a fixed (curve field ops, n, c, lanes)."""
 
     def __init__(self, G: CurveOps, n: int, scalar_limbs: int,
-                 c: int | None = None, lanes: int | None = None):
+                 c: int | None = None, lanes: int | None = None,
+                 method: str = "auto"):
         self.G = G
         self.n = n
         self.scalar_limbs = scalar_limbs
-        if n <= LADDER_THRESHOLD and c is None and lanes is None:
+        use_ladder = (method == "ladder" or (
+            method == "auto" and n <= LADDER_THRESHOLD
+            and c is None and lanes is None))
+        if use_ladder:
             self.c = self.nwin = self.R = self.C = self.n_pad = None
             self._impl = self._run_ladder
             self._fn = jax.jit(self._impl)
