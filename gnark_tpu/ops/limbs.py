@@ -55,17 +55,36 @@ def _sub_borrow(a, b):
     return jnp.stack(out), borrow
 
 
+def _sub_const_borrow(a, c_limbs):
+    """a - const over limb planes, const given as python-int limbs.
+    Scalar literals (no captured arrays) keep kernels Pallas-lowerable."""
+    L = a.shape[0]
+    out = []
+    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
+    for i in range(L):
+        d = a[i].astype(jnp.int32) - jnp.int32(int(c_limbs[i])) - borrow
+        out.append((d & jnp.int32(MASK)).astype(_U32))
+        borrow = (d < 0).astype(jnp.int32)
+    return jnp.stack(out), borrow
+
+
+def _rsub_const_borrow(c_limbs, a):
+    """const - a over limb planes (for negation)."""
+    L = a.shape[0]
+    out = []
+    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
+    for i in range(L):
+        d = jnp.int32(int(c_limbs[i])) - a[i].astype(jnp.int32) - borrow
+        out.append((d & jnp.int32(MASK)).astype(_U32))
+        borrow = (d < 0).astype(jnp.int32)
+    return jnp.stack(out), borrow
+
+
 def _const_for(c, ndim):
     """Reshape an [L] or [L, 1] numpy constant for broadcasting against
     an [L, ...] operand with ndim total dims."""
     c = np.asarray(c, np.uint32).reshape(-1)
     return jnp.asarray(c.reshape((c.shape[0],) + (1,) * (ndim - 1)))
-
-
-def _cond_sub_p(x, p_limbs):
-    """x - p if x >= p else x (x < 2p assumed; branchless)."""
-    diff, borrow = _sub_borrow(x, jnp.broadcast_to(_const_for(p_limbs, x.ndim), x.shape))
-    return jnp.where((borrow == 0)[None], diff, x)
 
 
 class FieldOps:
@@ -85,6 +104,10 @@ class FieldOps:
         pinv = (-pow(spec.modulus, -1, 1 << (W * spec.L))) % (1 << (W * spec.L))
         self._pinv = np.array(
             [(pinv >> (W * i)) & MASK for i in range(spec.L)], np.uint32)[:, None]
+        # python-int limb tuples: embedded as scalar literals in traced
+        # code (required for Pallas kernels — no captured array constants)
+        self._p_ints = tuple(int(v) for v in self._p.reshape(-1))
+        self._pinv_ints = tuple(int(v) for v in self._pinv.reshape(-1))
         # jit the hot entry points so eager use (tests, host-driven phases)
         # doesn't pay per-op dispatch; inside an enclosing jit these inline.
         self.add = jax.jit(self.add)
@@ -105,11 +128,13 @@ class FieldOps:
 
     def ones(self, n):
         shape = (n,) if isinstance(n, int) else tuple(n)
-        return jnp.broadcast_to(
-            _const_for(self._one, 1 + len(shape)), (self.L,) + shape)
+        # scalar-literal construction (Pallas-safe: no hoisted array consts)
+        return jnp.stack([jnp.full(shape, int(v), _U32)
+                          for v in self._one.reshape(-1)])
 
     def ones_like(self, a):
-        return jnp.broadcast_to(_const_for(self._one, a.ndim), a.shape)
+        return jnp.stack([jnp.full(a.shape[1:], int(v), _U32)
+                          for v in self._one.reshape(-1)])
 
     def const(self, value: int, n: int = 1):
         return jnp.broadcast_to(
@@ -125,18 +150,32 @@ class FieldOps:
 
     # -- ring ops ------------------------------------------------------------
 
+    def _cond_sub_p(self, x):
+        """x - p if x >= p else x (x < 2p assumed; branchless)."""
+        diff, borrow = _sub_const_borrow(x, self._p_ints)
+        return jnp.where((borrow == 0)[None], diff, x)
+
+    def _add_p(self, d):
+        out = []
+        carry = jnp.zeros(d.shape[1:], _U32)
+        for i in range(self.L):
+            v = d[i] + jnp.uint32(self._p_ints[i]) + carry
+            out.append(v & _MASK)
+            carry = v >> W
+        return jnp.stack(out)
+
     def add(self, a, b):
         s, _ = _propagate(a + b)  # inputs < p < 2^(16L) so no carry out
-        return _cond_sub_p(s, self._p)
+        return self._cond_sub_p(s)
 
     def sub(self, a, b):
         a, b = jnp.broadcast_arrays(a, b)
         d, borrow = _sub_borrow(a, b)
-        dp, _ = _propagate(d + _const_for(self._p, d.ndim))
+        dp = self._add_p(d)
         return jnp.where((borrow == 0)[None], d, dp)
 
     def neg(self, a):
-        d, _ = _sub_borrow(jnp.broadcast_to(_const_for(self._p, a.ndim), a.shape), a)
+        d, _ = _rsub_const_borrow(self._p_ints, a)
         # -0 must stay 0
         return jnp.where(self.is_zero(a)[None], a, d)
 
@@ -164,6 +203,23 @@ class FieldOps:
             cols = contrib if cols is None else cols + contrib
         return cols
 
+    def _mul_wide_const(self, a, c_ints):
+        """Product columns of a limb-plane batch with a constant given as
+        python-int limbs (scalar literals — Pallas-safe, smaller graphs)."""
+        L = self.L
+        tail_pad = ((0, 0),) * (a.ndim - 1)
+        cols = None
+        for i in range(L):
+            ci = int(c_ints[i])
+            if ci == 0:
+                continue
+            prod = a * jnp.uint32(ci)
+            lo = jnp.pad(prod & _MASK, ((i, L + 1 - i),) + tail_pad)
+            hi = jnp.pad(prod >> W, ((i + 1, L - i),) + tail_pad)
+            contrib = lo + hi
+            cols = contrib if cols is None else cols + contrib
+        return cols
+
     def mul(self, a, b):
         """Montgomery product aR * bR -> abR mod p (separated REDC).
 
@@ -175,18 +231,20 @@ class FieldOps:
 
         t = self._mul_wide(a, b)                       # [2L+1, ...]
         t_low, c_low = _propagate(t[:L])               # canonical t mod R
-        m = self._mul_wide(t_low, _const_for(self._pinv, a.ndim))
+        m = self._mul_wide_const(t_low, self._pinv_ints)
         m, _ = _propagate(m[:L])                       # m mod R, canonical
-        mp = self._mul_wide(m, _const_for(self._p, a.ndim))
+        mp = self._mul_wide_const(m, self._p_ints)
 
         # u = (t + m*p)/R: low L columns of t+m*p are ≡ 0 mod R by
         # construction; all we need from them is their carry-out.
         _, carry = _propagate(t_low + mp[:L])
         high = t[L:] + mp[L:]
-        high = high.at[0].add(c_low + carry)
+        # (concatenate, not .at[].add: scatter has no Pallas TPU lowering)
+        high = jnp.concatenate(
+            [(high[0] + c_low + carry)[None], high[1:]], axis=0)
         res, _ = _propagate(high[:L])
         # t + m*p < p^2 + R*p => u < 2p < R: top column provably empty.
-        return _cond_sub_p(res, self._p)
+        return self._cond_sub_p(res)
 
     def sqr(self, a):
         return self.mul(a, a)

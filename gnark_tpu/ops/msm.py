@@ -102,12 +102,13 @@ class MSM:
         self.G = G
         self.n = n
         self.scalar_limbs = scalar_limbs
-        use_ladder = (method == "ladder" or (
+        use_ladder = (method in ("ladder", "ladder_pallas") or (
             method == "auto" and n <= LADDER_THRESHOLD
             and c is None and lanes is None))
         if use_ladder:
             self.c = self.nwin = self.R = self.C = self.n_pad = None
-            self._impl = self._run_ladder
+            self._impl = (self._run_ladder_pallas
+                          if method == "ladder_pallas" else self._run_ladder)
             self._fn = jax.jit(self._impl)
             return
         if c is None:
@@ -140,6 +141,61 @@ class MSM:
         scalars: [Ls, n] uint32 *regular form* limb planes.
         Returns a single Jacobian point (coords [L, 1])."""
         return self._fn(xs, ys, inf_mask, scalars)
+
+    def _run_ladder_pallas(self, xs, ys, inf_mask, scalars):
+        """Ladder MSM as ONE Pallas kernel per point-block: the whole
+        256-step double-and-add loop runs with accumulator and point
+        block resident in VMEM — no per-step HBM round-trips (the
+        fusion-boundary traffic that bounds the XLA ladder).  Per-lane
+        partial sums come back to XLA for the final log-depth reduction."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        G, F = self.G, self.G.F
+        L = xs.shape[0]
+        n = xs.shape[-1]
+        total_bits = self.scalar_limbs * 16
+        TILE = min(n, 512)
+        assert n % TILE == 0
+
+        limb = jax.lax.broadcasted_iota(jnp.int32, (total_bits, 1), 0) // 16
+        shift = (jax.lax.broadcasted_iota(
+            jnp.int32, (total_bits, 1), 0) % 16).astype(jnp.uint32)
+        gathered = jnp.take(scalars, limb[:, 0], axis=0)
+        bits = (gathered >> shift) & jnp.uint32(1)
+        bits = jnp.flip(bits, axis=0)                  # [bits, n] MSB first
+        infu = inf_mask.astype(jnp.uint32)[None]       # [1, n]
+
+        def kernel(xs_ref, ys_ref, inf_ref, bits_ref, ox, oy, oz):
+            px, py = xs_ref[:], ys_ref[:]
+            pinf = inf_ref[0, :] != 0
+
+            def body(i, acc):
+                acc = G.double(acc)
+                bit_row = bits_ref[i, :]
+                sel = (bit_row == 0) | pinf
+                return G.add_mixed(acc, (px, py), sel)
+
+            z = jnp.zeros((L, TILE), jnp.uint32)
+            init = (z, F.ones_like(z), z)
+            X, Y, Z = jax.lax.fori_loop(0, total_bits, body, init)
+            ox[:], oy[:], oz[:] = X, Y, Z
+
+        shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+        blk = pl.BlockSpec((L, TILE), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+        X, Y, Z = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape, shape),
+            grid=(n // TILE,),
+            in_specs=[blk, blk,
+                      pl.BlockSpec((1, TILE), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((total_bits, TILE), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(blk, blk, blk),
+        )(xs, ys, infu, bits)
+        return _reduce(G, (X, Y, Z), n)
 
     def _run_ladder(self, xs, ys, inf_mask, scalars):
         """Small-n path: per-point double-and-add ladder vectorized over
