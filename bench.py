@@ -65,7 +65,7 @@ def main():
     scalars = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
-    plan = MSM(G, n, curve.fr.L, method="ladder")
+    plan = MSM(G, n, curve.fr.L, method="ladder_pallas")
     out = plan(xs, ys, inf, sc)  # compile + first run
     np.asarray(out[0])  # force full execution (block_until_ready is not
     # sufficient over the remote-TPU tunnel: only a device-to-host fetch

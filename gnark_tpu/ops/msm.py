@@ -102,10 +102,14 @@ class MSM:
         self.G = G
         self.n = n
         self.scalar_limbs = scalar_limbs
-        use_ladder = (method in ("ladder", "ladder_pallas") or (
-            method == "auto" and n <= LADDER_THRESHOLD
-            and c is None and lanes is None))
-        if use_ladder:
+        if method == "auto" and c is None and lanes is None:
+            if jax.default_backend() != "cpu":
+                # fused Pallas ladder is the fastest measured path on TPU
+                # at every size so far (docs/PERF.md)
+                method = "ladder_pallas"
+            elif n <= LADDER_THRESHOLD:
+                method = "ladder"
+        if method in ("ladder", "ladder_pallas"):
             self.c = self.nwin = self.R = self.C = self.n_pad = None
             self._impl = (self._run_ladder_pallas
                           if method == "ladder_pallas" else self._run_ladder)
