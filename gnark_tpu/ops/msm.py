@@ -159,8 +159,19 @@ class MSM:
         L = xs.shape[0]
         n = xs.shape[-1]
         total_bits = self.scalar_limbs * 16
-        TILE = min(n, 512)
-        assert n % TILE == 0
+        TILE = 512
+        # Mosaic block shapes must be (8k, 128m)-aligned: pad to the tile
+        if n % TILE:
+            pad = TILE - n % TILE
+            zc = jnp.zeros(xs.shape[:-1] + (pad,), xs.dtype)
+            xs = jnp.concatenate([xs, zc], axis=-1)
+            ys = jnp.concatenate([ys, zc], axis=-1)
+            inf_mask = jnp.concatenate(
+                [inf_mask, jnp.ones((pad,), bool)], axis=0)
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)],
+                axis=-1)
+            n = n + pad
 
         limb = jax.lax.broadcasted_iota(jnp.int32, (total_bits, 1), 0) // 16
         shift = (jax.lax.broadcasted_iota(

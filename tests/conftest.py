@@ -6,9 +6,24 @@ must be hermetic and validate multi-chip sharding on host devices
 """
 
 import os
+import sys
 
-# hard override: the ambient environment points JAX at the axon TPU tunnel
-# (JAX_PLATFORMS=axon); tests must run on the local CPU platform
+# The ambient environment points JAX at the axon TPU tunnel
+# (JAX_PLATFORMS=axon) and its sitecustomize registers the PJRT plugin at
+# interpreter start — before conftest runs — which breaks
+# --xla_force_host_platform_device_count.  Re-exec once with a clean env
+# so the virtual 8-device CPU mesh is available.
+if os.environ.get("PALLAS_AXON_POOL_IPS") and \
+        os.environ.get("_GNARK_TPU_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disables the sitecustomize hook
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_GNARK_TPU_TEST_REEXEC"] = "1"
+    # re-exec via the pytest __main__ path loses cwd from sys.path
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
