@@ -11,6 +11,8 @@ from gnark_tpu.ops.limbs import field_ops
 from gnark_tpu.ops.msm import MSM, window_digits
 from gnark_tpu.ops.towers import fp2_ops
 
+pytestmark = pytest.mark.slow  # compile-heavy device kernels
+
 
 def setup_g1(curve, n, seed, scalar_fn=None):
     rng = random.Random(seed)

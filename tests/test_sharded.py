@@ -17,6 +17,8 @@ from gnark_tpu.ops.limbs import field_ops
 from gnark_tpu.ops.msm import msm
 from gnark_tpu.parallel.sharded_msm import sharded_msm
 
+pytestmark = pytest.mark.slow  # compile-heavy device kernels
+
 
 @pytest.fixture(scope="module")
 def setup_points():
@@ -51,12 +53,14 @@ def test_sharded_msm_matches_host(setup_points):
     mesh = Mesh(np.array(jax.devices()).reshape(-1), ("shard",))
     ndev = mesh.shape["shard"]
     assert ndev == 8
-    result = sharded_msm(G, mesh, "shard", xs, ys, inf, sc, c=4, lanes=8)
+    # auto -> per-shard ladder (the windowed plan's CPU compile takes
+    # >10 min on this 1-CPU host; windowed coverage lives in test_msm)
+    result = sharded_msm(G, mesh, "shard", xs, ys, inf, sc)
     assert _to_host_affine(curve, fp, result) == expected
 
 
 def test_sharded_matches_single_chip(setup_points):
     curve, fp, xs, ys, inf, sc, expected = setup_points
     G = CurveOps(fp)
-    single = msm(G, xs, ys, inf, sc, c=4, lanes=8)
+    single = msm(G, xs, ys, inf, sc)
     assert _to_host_affine(curve, fp, single) == expected

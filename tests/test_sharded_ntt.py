@@ -11,6 +11,8 @@ from gnark_tpu.ops.limbs import field_ops
 from gnark_tpu.ops.ntt import Domain, bit_reverse_perm
 from gnark_tpu.parallel.sharded_ntt import ShardedDomain
 
+pytestmark = pytest.mark.slow  # compile-heavy device kernels
+
 
 @pytest.fixture(scope="module")
 def mesh():
