@@ -28,6 +28,12 @@ _os.environ.setdefault(
 
 
 def _enable_compilation_cache():
+    if _os.environ.get("GNARK_TPU_NO_COMPILE_CACHE"):
+        # CPU executables of the limb kernels are huge; serializing them
+        # into the persistent cache can OOM the 1-CPU test host, and the
+        # CPU AOT reload path often recompiles anyway (machine-feature
+        # mismatch).  Tests opt out (tests/conftest.py).
+        return
     import jax
 
     jax.config.update("jax_enable_compilation_cache", True)

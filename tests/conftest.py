@@ -19,6 +19,8 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and \
     env.pop("PALLAS_AXON_POOL_IPS", None)  # disables the sitecustomize hook
     env["JAX_PLATFORMS"] = "cpu"
     env["_GNARK_TPU_TEST_REEXEC"] = "1"
+    env["GNARK_TPU_NO_COMPILE_CACHE"] = "1"  # cache writes can OOM (huge
+    # CPU executables); reloads rarely hit anyway (feature mismatch)
     # re-exec via the pytest __main__ path loses cwd from sys.path
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
@@ -31,9 +33,12 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# NOTE: no persistent compilation cache for tests — serializing the huge
+# CPU executables of the limb kernels can exhaust memory (observed LLVM
+# "Cannot allocate memory" + segfault in the cache write path), and the
+# CPU AOT reload usually recompiles anyway due to machine-feature
+# mismatch.  GNARK_TPU_NO_COMPILE_CACHE (set in the re-exec env above)
+# makes gnark_tpu skip enabling it.
+os.environ.setdefault("GNARK_TPU_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
-
-jax.config.update("jax_enable_compilation_cache", True)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
