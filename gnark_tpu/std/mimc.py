@@ -29,6 +29,9 @@ PARAMS = {
     "bn254": MiMCParams(n_rounds=110, sbox="pow5"),
     "bls12_381": MiMCParams(n_rounds=111, sbox="pow5"),
     "bls12_377": MiMCParams(n_rounds=62, sbox="inverse"),
+    # outer curve of the 2-chain (761-bit fr): pow5 like the reference's
+    # BW6-761 variant (std/hash/mimc/encrypt.go:41 encryptPow5)
+    "bw6_761": MiMCParams(n_rounds=137, sbox="pow5"),
 }
 
 _constants_cache = {}
