@@ -42,3 +42,16 @@ if "host_platform_device_count" not in flags:
 os.environ.setdefault("GNARK_TPU_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_kernels_between_modules():
+    """Compiled executables of the limb kernels are huge; holding every
+    module's kernels alive exhausts the 125GB host by mid-suite (observed
+    LLVM 'Cannot allocate memory' + segfault).  Drop them per module."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
