@@ -28,7 +28,7 @@ import numpy as np
 
 from gnark_tpu.backend.solver import solve
 from gnark_tpu.curves.pairing import pairing_for
-from gnark_tpu.fields.spec import MASK, W
+from gnark_tpu.fields.spec import W
 from gnark_tpu.ops.ec import CurveOps
 from gnark_tpu.ops.fixed_base import FixedBaseTable
 from gnark_tpu.ops.limbs import field_ops

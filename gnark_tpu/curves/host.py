@@ -8,7 +8,6 @@ Performance-critical bulk work lives in ops/ (device kernels) instead.
 
 from __future__ import annotations
 
-import dataclasses
 
 
 class HostFp:

@@ -15,7 +15,7 @@ LC ((0, coeff_id(c)),).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import sys
 from gnark_tpu.backend import hints as hint_registry
 from gnark_tpu.frontend import ir
 from gnark_tpu.frontend.ir import (
-    COEFF_MINUS_ONE, COEFF_ONE, CoeffTable, Hint, LogEntry,
+    CoeffTable, Hint, LogEntry,
     lc_combine, lc_const, lc_const_value, lc_single,
 )
 

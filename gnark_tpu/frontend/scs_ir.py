@@ -17,7 +17,6 @@ import dataclasses
 
 import numpy as np
 
-from gnark_tpu.frontend.ir import CoeffTable
 
 
 @dataclasses.dataclass

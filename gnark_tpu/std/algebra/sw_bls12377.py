@@ -19,7 +19,7 @@ import functools
 
 from gnark_tpu.curves import BLS12_377
 from gnark_tpu.curves.host import HostFp2
-from gnark_tpu.std.algebra.fields_bls12377 import E2, E6, E12
+from gnark_tpu.std.algebra.fields_bls12377 import E2, E12
 
 X_PARAM = BLS12_377.x_param  # 9586122913090633729 (positive)
 FP = BLS12_377.fp.modulus

@@ -9,7 +9,7 @@ node = H(left, right).
 
 from __future__ import annotations
 
-from gnark_tpu.std.mimc import MiMC, MiMCHost, mimc_hash
+from gnark_tpu.std.mimc import MiMC, mimc_hash
 
 
 # ---- host ------------------------------------------------------------------------
