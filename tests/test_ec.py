@@ -10,6 +10,8 @@ from gnark_tpu.ops.ec import CurveOps
 from gnark_tpu.ops.limbs import field_ops
 from gnark_tpu.ops.towers import fp2_ops
 
+pytestmark = pytest.mark.slow  # compile-heavy device kernels
+
 
 def host_points_g1(curve, n, seed):
     rng = random.Random(seed)

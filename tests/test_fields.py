@@ -12,6 +12,8 @@ import pytest
 from gnark_tpu.fields import ALL_FIELDS, BN254_FR, BLS12_381_FP
 from gnark_tpu.ops.limbs import field_ops
 
+pytestmark = pytest.mark.slow  # compile-heavy device kernels
+
 N = 67  # deliberately non-power-of-two, non-multiple-of-lane-width
 
 

@@ -9,6 +9,8 @@ from gnark_tpu.fields import BN254_FR, BLS12_377_FR
 from gnark_tpu.ops.limbs import field_ops
 from gnark_tpu.ops.ntt import Domain, bit_reverse, bit_reverse_perm
 
+pytestmark = pytest.mark.slow  # compile-heavy device kernels
+
 
 def naive_dft(coeffs, omega, p):
     n = len(coeffs)
