@@ -72,10 +72,10 @@ def _roll_scan(G: CurveOps, P, n: int, reverse: bool = False):
     def body(P, shift):
         X, Y, Z = P
         r = -shift if reverse else shift
-        Q = (jnp.roll(X, r, axis=1), jnp.roll(Y, r, axis=1),
-             jnp.roll(Z, r, axis=1))
+        Q = (jnp.roll(X, r, axis=-1), jnp.roll(Y, r, axis=-1),
+             jnp.roll(Z, r, axis=-1))
         valid = (idx >= shift) if not reverse else (idx < n - shift)
-        Q = (Q[0], Q[1], jnp.where(valid[None], Q[2], 0))
+        Q = (Q[0], Q[1], jnp.where(valid, Q[2], 0))  # broadcasts on last axis
         return G.add(P, Q), None
 
     P, _ = jax.lax.scan(body, P, shifts)
@@ -83,9 +83,9 @@ def _roll_scan(G: CurveOps, P, n: int, reverse: bool = False):
 
 
 def _reduce(G: CurveOps, P, n: int):
-    """Sum of a point batch -> single point (prefix scan, take the end)."""
+    """Sum over the LAST axis of a point batch (prefix scan, take end)."""
     P = _roll_scan(G, P, n)
-    return tuple(a[:, -1:] for a in P)
+    return tuple(a[..., -1:] for a in P)
 
 
 # below this size the windowed plan's compile cost dwarfs its runtime
@@ -251,68 +251,71 @@ class MSM:
                 [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)],
                 axis=-1)
 
+        L = xs.shape[0]
+        nwin = self.nwin
         digits = window_digits(scalars, c)                  # [nwin, n_pad]
         digits = jnp.where(inf_mask[None], 0, digits)
 
         bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)      # buckets 1..2^c-1
 
-        def window_body(_, dig):
-            order = jnp.argsort(dig)
-            d_sorted = jnp.take(dig, order)
-            sx = jnp.take(xs, order, axis=-1)
-            sy = jnp.take(ys, order, axis=-1)
-            sinf = jnp.take(inf_mask, order)
+        # ALL WINDOWS BATCHED: the per-window pipeline runs as one wide
+        # vector program with a (nwin, ...) batch axis — the 32x window
+        # serialization (outer scan) was the old path's TPU bottleneck,
+        # not the sorts/gathers (37ms for all windows at 2^16).
+        orders = jax.vmap(jnp.argsort)(digits)              # [nwin, n_pad]
+        d_sorted = jnp.take_along_axis(digits, orders, axis=1)
+        sx = jnp.take(xs, orders, axis=-1)                  # [L, nwin, n_pad]
+        sy = jnp.take(ys, orders, axis=-1)
+        sinf = jnp.take(inf_mask, orders)                   # [nwin, n_pad]
 
-            # --- within-lane prefix (leaf mixed-adds) ---
-            sx_s = jnp.moveaxis(sx.reshape(sx.shape[:-1] + (R, C)), -1, 0)
-            sy_s = jnp.moveaxis(sy.reshape(sy.shape[:-1] + (R, C)), -1, 0)
-            si_s = jnp.moveaxis(sinf.reshape(R, C), -1, 0)   # [C, R]
+        # --- within-lane prefix (leaf mixed-adds), scan depth C ---
+        def split(a):  # [..., n_pad] -> [C, ..., R]
+            return jnp.moveaxis(a.reshape(a.shape[:-1] + (R, C)), -1, 0)
 
-            def leaf(acc, t):
-                tx, ty, ti = t
-                acc = G.add_mixed(acc, (tx, ty), ti)
-                return acc, acc
+        def leaf(acc, t):
+            tx, ty, ti = t
+            acc = G.add_mixed(acc, (tx, ty), ti)
+            return acc, acc
 
-            totals, prefix = jax.lax.scan(leaf, G.inf(R), (sx_s, sy_s, si_s))
-            # prefix: tuple-of-coords stacked [C, L, R] -> flat [L, n_pad]
-            flat = tuple(
-                jnp.moveaxis(a, 0, -1).reshape(a.shape[1:-1] + (n_pad,))
-                for a in prefix)
+        totals, prefix = jax.lax.scan(
+            leaf, G.inf((nwin, R)), (split(sx), split(sy), split(sinf)))
+        # prefix coords [C, L, nwin, R] -> flat [L, nwin, n_pad]
+        flat = tuple(
+            jnp.moveaxis(a, 0, -1).reshape(L, nwin, n_pad) for a in prefix)
 
-            # --- lane offsets (exclusive scan over lane totals) ---
-            incl = _roll_scan(G, totals, R)
-            offs = tuple(jnp.roll(a, 1, axis=-1) for a in incl)
-            offs = (offs[0], offs[1],
-                    offs[2].at[..., 0].set(0))               # lane 0: identity
+        # --- lane offsets (exclusive scan over lane totals [L, nwin, R]) ---
+        incl = _roll_scan(G, totals, R)
+        offs = tuple(jnp.roll(a, 1, axis=-1) for a in incl)
+        offs = (offs[0], offs[1], offs[2].at[..., 0].set(0))  # lane 0: id
 
-            # --- bucket sums from boundary prefixes ---
-            ends = jnp.searchsorted(d_sorted, bvals, side="right") - 1
-            starts = jnp.searchsorted(d_sorted, bvals, side="left") - 1
+        # --- bucket sums from boundary prefixes ---
+        ends = jax.vmap(
+            lambda d: jnp.searchsorted(d, bvals, side="right"))(d_sorted) - 1
+        starts = jax.vmap(
+            lambda d: jnp.searchsorted(d, bvals, side="left"))(d_sorted) - 1
 
-            def prefix_total(i):
-                gi = jnp.maximum(i, 0)
-                P = tuple(jnp.take(a, gi, axis=-1) for a in flat)
-                O = tuple(jnp.take(a, gi // C, axis=-1) for a in offs)
-                T = G.add(P, O)
-                return (T[0], T[1], jnp.where((i >= 0)[None], T[2], 0))
+        def prefix_total(i):                                # i: [nwin, nb]
+            gi = jnp.maximum(i, 0)
+            idx = jnp.broadcast_to(gi[None], (L,) + gi.shape)
+            P = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
+            O = tuple(jnp.take_along_axis(a, idx // C, axis=2) for a in offs)
+            T = G.add(P, O)
+            return (T[0], T[1], jnp.where((i >= 0)[None], T[2], 0))
 
-            buckets = G.add(prefix_total(ends), G.neg(prefix_total(starts)))
+        buckets = G.add(prefix_total(ends), G.neg(prefix_total(starts)))
 
-            # --- S_w = sum_b b * bucket_b = sum of suffix sums ---
-            nb = (1 << c) - 1
-            suffix = _roll_scan(G, buckets, nb, reverse=True)
-            S_w = _reduce(G, suffix, nb)
-            return None, S_w
+        # --- S_w = sum_b b * bucket_b = sum of suffix sums, per window ---
+        nb = (1 << c) - 1
+        suffix = _roll_scan(G, buckets, nb, reverse=True)
+        S = _reduce(G, suffix, nb)                          # [L, nwin, 1]
 
-        _, S = jax.lax.scan(window_body, None, digits)       # coords [nwin, L, 1]
-
-        # --- Horner fold over windows, top first ---
+        # --- Horner fold over windows, most-significant first ---
         def fold(T, S_w):
             T = jax.lax.fori_loop(0, c, lambda _, A: G.double(A), T)
             return G.add(T, S_w), None
 
-        top = tuple(a[-1] for a in S)
-        rest = tuple(a[-2::-1] for a in S)
+        top = tuple(a[:, -1, :] for a in S)
+        rest = tuple(jnp.moveaxis(a[:, -2::-1, :], 1, 0) for a in S)
         T, _ = jax.lax.scan(fold, top, rest)
         return T
 
