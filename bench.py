@@ -2,19 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: G1 MSM throughput (points/s) at n = 2^14 — THE Groth16
+Headline metric: G1 MSM throughput (points/s) at n = 2^16 — THE Groth16
 prover hot loop (SURVEY §3.2: MSM is ~75% of prove at scale;
 internal/backend/bn254/groth16/prove.go:155-241).  vs_baseline is the
 ratio against gnark's published-order CPU throughput (~1.7e6 points/s on
 a 64-core x86 host for BN254 G1 MultiExp), the BASELINE.md north-star
 config 4 proxy.
 
-Round-1 state: the vectorized double-and-add ladder (u32 limb planes,
-XLA-fused shifted-accumulation multiply) measures ~25k points/s/chip on
-v5e — HBM/VPU-bound.  The speed-of-light path (Pallas kernel keeping the
-whole EC add in VMEM + MXU-based limb products) is the next round's
-kernel project; the windowed Pippenger plan exists but its argsort/gather
-bucket phase is TPU-hostile at these sizes.
+Round-1 state: the window-batched Pippenger (all windows as one wide
+vector pipeline: vmapped sort/gather, batched leaf prefix scan and
+bucket reduction) measures ~148k points/s/chip at 2^16 on v5e,
+bit-exact vs the host oracle.  Remaining gap to gnark's 64-core x86
+number is ~10x; the Pallas/MXU leaf-phase fusion is the next lever
+(docs/PERF.md).
 """
 
 import json
@@ -41,7 +41,7 @@ def main():
     from gnark_tpu.ops.limbs import field_ops
     from gnark_tpu.ops.msm import MSM
 
-    n = 1 << 14
+    n = 1 << 16
     curve = BN254
     fp = field_ops(curve.fp)
     G = CurveOps(fp)
@@ -65,7 +65,7 @@ def main():
     scalars = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
-    plan = MSM(G, n, curve.fr.L, method="ladder_pallas")
+    plan = MSM(G, n, curve.fr.L, method="window")
     out = plan(xs, ys, inf, sc)  # compile + first run
     np.asarray(out[0])  # force full execution (block_until_ready is not
     # sufficient over the remote-TPU tunnel: only a device-to-host fetch
@@ -80,7 +80,7 @@ def main():
 
     pts_per_s = n / dt
     print(json.dumps({
-        "metric": "msm_g1_bn254_2e14_points_per_s",
+        "metric": "msm_g1_bn254_2e16_points_per_s",
         "value": round(pts_per_s),
         "unit": "points/s",
         "vs_baseline": round(pts_per_s / GNARK_CPU_MSM_POINTS_PER_S, 4),

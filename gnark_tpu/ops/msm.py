@@ -104,9 +104,10 @@ class MSM:
         self.scalar_limbs = scalar_limbs
         if method == "auto" and c is None and lanes is None:
             if jax.default_backend() != "cpu":
-                # fused Pallas ladder is the fastest measured path on TPU
-                # at every size so far (docs/PERF.md)
-                method = "ladder_pallas"
+                # measured on v5e (docs/PERF.md): the window-batched
+                # Pippenger wins from ~2^13 up; the fused Pallas ladder
+                # has lower fixed cost below that
+                method = "window" if n >= 8192 else "ladder_pallas"
             elif n <= LADDER_THRESHOLD:
                 method = "ladder"
         if method in ("ladder", "ladder_pallas"):
