@@ -81,6 +81,10 @@ class VerifyingKey:
     K: list                 # public-wire commitments (host affine, None=inf)
     e_alpha_beta: tuple     # precomputed GT element
     nb_public: int          # includes the one-wire
+    # gnark's VK blob carries [beta]1/[delta]1 too (marshal.go:93) — kept
+    # here so a freshly-setup VK serializes faithfully (ADVICE r1 low)
+    beta_g1: tuple = None
+    delta_g1: tuple = None
 
 
 @dataclasses.dataclass
@@ -365,7 +369,8 @@ def setup(cs, curve, rng=None, host=False):
     vk = VerifyingKey(
         curve=curve, alpha_g1=alpha_g1, beta_g2=beta_g2,
         gamma_g2=gamma_g2, delta_g2=delta_g2, K=vk_k_host,
-        e_alpha_beta=e_ab, nb_public=nb_pub)
+        e_alpha_beta=e_ab, nb_public=nb_pub,
+        beta_g1=beta_g1, delta_g1=delta_g1)
     logger.info(f"groth16 setup: {cs.nb_constraints} constraints, domain {n}")
     return pk, vk
 

@@ -65,10 +65,17 @@ def new_srs(curve, size: int, tau: int | None = None, rng=None,
 
 
 def commit_device(srs: SRS, coeffs_regular):
-    """coeffs: [Ls, k] regular-form limb planes -> device Jacobian point."""
+    """coeffs: [Ls, k] regular-form limb planes -> device Jacobian point.
+
+    Degree bound is enforced, never silently truncated (a quotient longer
+    than the SRS would otherwise commit to the wrong polynomial)."""
     from gnark_tpu.backend.groth16 import _CurveKernels
     K = _CurveKernels(srs.curve)
     k = coeffs_regular.shape[-1]
+    if k > len(srs.g1):
+        raise ValueError(
+            f"polynomial has {k} coefficients but SRS only supports "
+            f"{len(srs.g1)} (kzg.Commit degree check, kzg.go ErrInvalidPolynomialSize)")
     xs, ys, inf = srs.device_g1
     return msm(K.g1, xs[:, :k], ys[:, :k], inf[:k], coeffs_regular)
 
@@ -78,6 +85,15 @@ def commit(srs: SRS, coeffs: list, host: bool = False):
     if not coeffs:
         return None
     q = srs.curve.fr.modulus
+    # trim trailing zero coefficients (degree may be lower than the list
+    # length), then enforce the SRS degree bound on what remains
+    top = len(coeffs)
+    while top > 1 and coeffs[top - 1] % q == 0:
+        top -= 1
+    coeffs = coeffs[:top]
+    if len(coeffs) > len(srs.g1):
+        raise ValueError(
+            f"polynomial degree {len(coeffs) - 1} exceeds SRS size {len(srs.g1)}")
     if host:
         host1 = srs.curve.host_g1
         acc = None

@@ -500,8 +500,11 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     gz_part = (l_bar + beta * s1_bar + gamma) * (r_bar + beta * s2_bar + gamma) % q
     l1_zeta = zh_zeta * pow(n, -1, q) % q * pow((zeta - 1) % q, -1, q) % q
 
+    # r_poly's highest written index is max(len(z_c), len(s3_c), len(h*))-1,
+    # so nlen entries suffice; oversizing previously produced an opening
+    # quotient one coefficient longer than the SRS (ADVICE r1, high).
     nlen = max(len(z_c), len(pk.s3_c), len(h1), n)
-    r_poly = [0] * (nlen + 2)
+    r_poly = [0] * nlen
 
     def axpy(coeffs, k):
         for i, c in enumerate(coeffs):
@@ -569,6 +572,16 @@ def verify(proof: PlonkProof, vk: PlonkVK, public_inputs) -> bool:
         raise ValueError(f"want {vk.ell} public inputs")
     public_inputs = [v % q for v in public_inputs]
     host1 = curve.host_g1
+
+    # on-curve + prime-subgroup validation of every proof point (the
+    # reference subgroup-checks at deserialization, bn254/marshal.go
+    # SetBytes; groth16.verify here does the same — ADVICE r1 medium)
+    for p in (proof.c_l, proof.c_r, proof.c_o, proof.c_z, proof.c_h1,
+              proof.c_h2, proof.c_h3, proof.w_zeta, proof.w_zeta_omega):
+        if p is not None and (
+                not host1.is_on_curve(p)
+                or host1.scalar_mul(p, q) is not None):
+            return False
 
     fs = Transcript(*CHALLENGES)
     _bind_public_data(fs, vk, public_inputs)

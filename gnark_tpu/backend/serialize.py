@@ -147,6 +147,11 @@ class PointCodec:
         P = (x, y)
         if not self.curve.host_g1.is_on_curve(P):
             raise ValueError("invalid G1 point")
+        # prime-subgroup check on cofactor curves (gnark-crypto SetBytes
+        # subgroup-checks at deserialization; BN G1 has cofactor 1)
+        if getattr(self.curve, "family", "bls") != "bn":
+            if self.curve.host_g1.scalar_mul(P, self.curve.fr.modulus) is not None:
+                raise ValueError("G1 point not in the prime-order subgroup")
         return P
 
     # ---- G2 -----------------------------------------------------------------
@@ -199,6 +204,9 @@ class PointCodec:
         P = (x, y)
         if not self.curve.host_g2.is_on_curve(P):
             raise ValueError("invalid G2 point")
+        # G2 cofactor is nontrivial on every supported curve
+        if self.curve.host_g2.scalar_mul(P, self.curve.fr.modulus) is not None:
+            raise ValueError("G2 point not in the prime-order subgroup")
         return P
 
 
@@ -227,11 +235,12 @@ def vk_to_bytes(vk) -> bytes:
     [alpha]1 [beta]1 [beta]2 [gamma]2 [delta]1 [delta]2 u32(nK) [K...]1."""
     curve = vk.curve
     c = PointCodec(curve)
-    host1 = curve.host_g1
-    # beta_g1/delta_g1 live in the PK in our design; the VK serialization
-    # needs them — store negated? gnark stores them as-is in the vk blob.
     beta1 = getattr(vk, "beta_g1", None)
     delta1 = getattr(vk, "delta_g1", None)
+    if beta1 is None or delta1 is None:
+        raise ValueError(
+            "VK is missing beta_g1/delta_g1 (gnark's blob carries them); "
+            "re-run setup or deserialize a full VK before serializing")
     out = [c.g1_to_bytes(vk.alpha_g1),
            c.g1_to_bytes(beta1),
            c.g2_to_bytes(vk.beta_g2),

@@ -252,6 +252,17 @@ class SCSBuilder:
         cb, kb = self.constant_value(b)
         if ka and kb:
             return self._term(ca ^ cb)
+        if ka or kb:
+            # one constant operand: xor(v, c) = v*(1-2c) + c is a free
+            # affine transform (gnark api.Xor accepts constants)
+            v, c = (b, ca) if ka else (a, cb)
+            self.assert_is_boolean(v)
+            t = self._term(v)
+            k = (1 - 2 * c) % self.q
+            out = AffineTerm(t.wire, t.coeff * k % self.q,
+                             (t.shift * k + c) % self.q)
+            self._booleans.add((out.wire, out.coeff, out.shift))
+            return out
         self.assert_is_boolean(a)
         self.assert_is_boolean(b)
         ta, tb = self._term(a), self._term(b)
@@ -273,6 +284,13 @@ class SCSBuilder:
         cb, kb = self.constant_value(b)
         if ka and kb:
             return self._term(ca | cb)
+        if ka or kb:
+            # or(v, c) = v*(1-c) + c: affine, no gate (gnark api.Or)
+            v, c = (b, ca) if ka else (a, cb)
+            self.assert_is_boolean(v)
+            if c:
+                return self._term(1)
+            return self._term(v)
         self.assert_is_boolean(a)
         self.assert_is_boolean(b)
         ta, tb = self._term(a), self._term(b)

@@ -274,3 +274,37 @@ def test_compile_determinism():
     assert (cs1.L.wires == cs2.L.wires).all()
     assert (cs1.R.coeffs == cs2.R.coeffs).all()
     assert cs1.levels == cs2.levels
+
+
+class LogicConst(Circuit):
+    """xor/or with one constant operand must fold affinely on both schemes
+    (gnark api.Xor/Or accept constants; ADVICE r1: SCS previously emitted
+    a gate on the constant-sentinel wire and crashed compile)."""
+    a = Secret()
+    x1 = Public()   # a ^ 1
+    x0 = Public()   # a ^ 0
+    o1 = Public()   # a | 1
+    o0 = Public()   # a | 0
+
+    def define(self, api):
+        api.assert_is_equal(api.xor(self.a, 1), self.x1)
+        api.assert_is_equal(api.xor(0, self.a), self.x0)
+        api.assert_is_equal(api.or_(self.a, 1), self.o1)
+        api.assert_is_equal(api.or_(0, self.a), self.o0)
+
+
+def test_logic_constant_operand_r1cs():
+    check(LogicConst, {"a": 1, "x1": 0, "x0": 1, "o1": 1, "o0": 1},
+          {"a": 1, "x1": 1, "x0": 1, "o1": 1, "o0": 1})
+
+
+def test_logic_constant_operand_scs():
+    from gnark_tpu.backend import scs_solver
+    cs = compile_circuit(LogicConst(), BN254, scheme="plonk")
+    a = LogicConst()
+    a.a, a.x1, a.x0, a.o1, a.o0 = 0, 1, 0, 1, 0
+    w = Witness.from_assignment(a, BN254)
+    assert scs_solver.is_solved(cs, w.values)
+    a.x1 = 0
+    w = Witness.from_assignment(a, BN254)
+    assert not scs_solver.is_solved(cs, w.values)
