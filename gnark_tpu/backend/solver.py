@@ -25,16 +25,66 @@ class UnsatisfiedConstraintError(Exception):
         super().__init__(f"constraint #{constraint_id} is not satisfied: {msg}{where}")
 
 
-@dataclasses.dataclass
 class Solution:
-    values: list      # full wire vector (ints), index = wire id
-    a: list           # per-constraint L value
-    b: list
-    c: list
+    """Solved witness.  Backed either by python-int lists (scalar solver)
+    or by uint64 limb planes (vectorized solver) — in the latter case the
+    int views materialize lazily so the device prover can consume the
+    limb planes directly with zero int round-trips."""
+
+    def __init__(self, values=None, a=None, b=None, c=None,
+                 limbs=None, field=None):
+        self._ints = {"values": values, "a": a, "b": b, "c": c}
+        self.limbs = limbs        # dict name -> uint64 [L, n] regular form
+        self._field = field
+
+    def _get(self, name):
+        v = self._ints[name]
+        if v is None:
+            v = self._field.unpack(self.limbs[name])
+            self._ints[name] = v
+        return v
+
+    @property
+    def values(self):
+        return self._get("values")
+
+    @property
+    def a(self):
+        return self._get("a")
+
+    @property
+    def b(self):
+        return self._get("b")
+
+    @property
+    def c(self):
+        return self._get("c")
 
 
-def solve(cs, witness_values, *, check: bool = True) -> Solution:
-    """witness_values: [public (no one-wire) | secret] ints."""
+def solve(cs, witness_values, *, check: bool = True,
+          vectorized: bool | None = None) -> Solution:
+    """witness_values: [public (no one-wire) | secret] ints.
+
+    vectorized: None (auto) picks the leveled numpy solver
+    (np_solver.solve_np) when the level schedule is wide enough to
+    amortize its per-level vector-op overhead (measured crossover ~512
+    constraints/level); True forces it; False forces the scalar walk
+    below, which is the semantics reference.
+    """
+    if vectorized is None and getattr(cs, "levels", None):
+        avg_width = cs.nb_constraints / max(1, len(cs.levels))
+        vectorized = avg_width >= 512
+    if vectorized:
+        from gnark_tpu.backend import np_solver
+        out = np_solver.solve_np(cs, witness_values, check=check)
+        if out is not None:
+            values, a, b, c = out
+            F = np_solver._plan_of(cs).field
+            sol = Solution(
+                limbs={"values": values, "a": a, "b": b, "c": c}, field=F)
+            if cs.logs:
+                _print_logs(cs, sol.values, cs.field_modulus)
+            return sol
     q = cs.field_modulus
     nb_in = cs.nb_public + cs.nb_secret
     if len(witness_values) != nb_in - 1:

@@ -104,10 +104,10 @@ class MSM:
         self.scalar_limbs = scalar_limbs
         if method == "auto" and c is None and lanes is None:
             if jax.default_backend() != "cpu":
-                # measured on v5e (docs/PERF.md): the window-batched
-                # Pippenger wins from ~2^13 up; the fused Pallas ladder
-                # has lower fixed cost below that
-                method = "window" if n >= 8192 else "ladder_pallas"
+                # measured on v5e (docs/PERF.md): the Pallas-fused
+                # windowed Pippenger wins from ~2^13 up; the fused
+                # Pallas ladder has lower fixed cost below that
+                method = "window_pallas" if n >= 8192 else "ladder_pallas"
             elif n <= LADDER_THRESHOLD:
                 method = "ladder"
         if method in ("ladder", "ladder_pallas"):
@@ -116,19 +116,46 @@ class MSM:
                           if method == "ladder_pallas" else self._run_ladder)
             self._fn = jax.jit(self._impl)
             return
+        total_bits = scalar_limbs * 16
+        if method == "window_pallas":
+            if lanes is None:
+                lanes = 512          # VMEM tile width of the leaf kernel
+            if c is None:
+                # cost in field-muls: leaf = n mixed adds (11M)/window;
+                # lane-offset scan = log2(R)*R full adds (26M); weighted
+                # bucket reduction = 2 roll-scans over nb buckets.
+                def cost(cc):
+                    nwin = -(-total_bits // cc)
+                    nb = (1 << cc) - 1
+                    lane = (max(1, (lanes - 1).bit_length())) * lanes * 26
+                    bucket = (2 * max(1, nb.bit_length()) + 2) * nb * 26
+                    return nwin * (n * 11 + lane + bucket)
+
+                c = min(range(4, 17), key=cost)
+            self.c = c
+            self.nwin = -(-total_bits // c)
+            self.R = lanes
+            self.TILER = min(lanes, 1024)
+            assert self.R % 128 == 0 and self.R % self.TILER == 0
+            self.C = -(-n // self.R)
+            self.n_pad = self.C * self.R
+            # chunk windows so the materialized prefix arrays stay under
+            # ~1.5 GB of HBM (matters at 2^20; one chunk at 2^16)
+            per_win = self.n_pad * self.G.F.L * 4 * 3
+            self.wchunk = max(1, int(1.5e9) // per_win)
+            self._impl = self._run_window_pallas
+            self._fn = jax.jit(self._impl)
+            return
         if c is None:
             # cost model: per window, leaf phase = n mixed adds (~11 muls),
             # bucket phase = 2 roll-scans over 2^c buckets (~2c * 2^c full
             # adds, ~26 muls each).  Choose c minimizing total over windows.
-            total_bits = scalar_limbs * 16
-
             def cost(cc):
                 nwin = -(-total_bits // cc)
                 return nwin * (n * 11 + (2 * cc + 3) * (1 << cc) * 26)
 
             c = min(range(2, 16), key=cost)
         self.c = c
-        total_bits = scalar_limbs * 16
         self.nwin = -(-total_bits // c)
         if lanes is None:
             # R lanes: wide enough to fill the VPU, small enough that the
@@ -311,6 +338,141 @@ class MSM:
         S = _reduce(G, suffix, nb)                          # [L, nwin, 1]
 
         # --- Horner fold over windows, most-significant first ---
+        def fold(T, S_w):
+            T = jax.lax.fori_loop(0, c, lambda _, A: G.double(A), T)
+            return G.add(T, S_w), None
+
+        top = tuple(a[:, -1, :] for a in S)
+        rest = tuple(jnp.moveaxis(a[:, -2::-1, :], 1, 0) for a in S)
+        T, _ = jax.lax.scan(fold, top, rest)
+        return T
+
+
+    # ---- Pallas-fused windowed Pippenger --------------------------------
+
+    def _leaf_prefix_pallas(self, sx, sy, nw):
+        """Per-lane running prefix of mixed-adds as ONE Pallas kernel.
+
+        Input layout [nw, C, L, R] (sorted index s = r*C + cstep); the
+        point-at-infinity flag rides in bit 16 of y limb-plane 0 (limb
+        planes are 16-bit values in uint32 lanes, so the top half is
+        free).  Grid (nw, R/T, C): for each (window, lane-tile) the C
+        accumulation steps run back-to-back with the accumulator in VMEM
+        scratch — no per-step HBM round-trips, which is the ~4x
+        fusion-boundary tax of the XLA formulation (docs/PERF.md).
+        Prefixes stream out to HBM for the bucket-boundary gathers.
+        """
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        G, F = self.G, self.G.F
+        L, C, R, T = sx.shape[2], self.C, self.R, self.TILER
+
+        def kernel(x_ref, y_ref, ox, oy, oz, ax, ay, az):
+            cstep = pl.program_id(2)
+
+            @pl.when(cstep == 0)
+            def _():
+                ax[:] = jnp.zeros((L, T), jnp.uint32)
+                ay[:] = F.ones(T)
+                az[:] = jnp.zeros((L, T), jnp.uint32)
+
+            px = x_ref[0, 0]
+            yr = y_ref[0, 0]
+            pinf = (yr[0, :] >> jnp.uint32(16)) != 0
+            py = jnp.concatenate(
+                [yr[0:1] & jnp.uint32(0xFFFF), yr[1:]], axis=0)
+            acc = G.add_mixed((ax[:], ay[:], az[:]), (px, py), pinf)
+            ax[:], ay[:], az[:] = acc
+            ox[0, 0], oy[0, 0], oz[0, 0] = acc
+
+        blk = pl.BlockSpec((1, 1, L, T), lambda w, r, cs: (w, cs, 0, r),
+                           memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((nw, C, L, R), jnp.uint32)
+        scratch = pltpu.VMEM((L, T), jnp.uint32)
+        return pl.pallas_call(
+            kernel,
+            grid=(nw, R // T, C),
+            out_shape=(shape, shape, shape),
+            in_specs=[blk, blk],
+            out_specs=(blk, blk, blk),
+            scratch_shapes=[scratch, scratch, scratch],
+        )(sx, sy)
+
+    def _run_window_pallas(self, xs, ys, inf_mask, scalars):
+        G, F = self.G, self.G.F
+        n, n_pad, R, C, c = self.n, self.n_pad, self.R, self.C, self.c
+        pad = n_pad - n
+        if pad:
+            zpad = jnp.zeros(xs.shape[:-1] + (pad,), xs.dtype)
+            xs = jnp.concatenate([xs, zpad], axis=-1)
+            ys = jnp.concatenate([ys, zpad], axis=-1)
+            inf_mask = jnp.concatenate(
+                [inf_mask, jnp.ones((pad,), bool)], axis=0)
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)],
+                axis=-1)
+
+        L = xs.shape[0]
+        nwin = self.nwin
+        nb = (1 << c) - 1
+        digits = jnp.where(inf_mask[None], 0, window_digits(scalars, c))
+        bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)
+        infu = inf_mask.astype(jnp.uint32)
+
+        S_parts = []
+        for w0 in range(0, nwin, self.wchunk):
+            nw = min(self.wchunk, nwin - w0)
+            dg = digits[w0:w0 + nw]
+            orders = jax.vmap(jnp.argsort)(dg)            # [nw, n_pad]
+            d_sorted = jnp.take_along_axis(dg, orders, axis=1)
+            # blocked layout [nw, C, L, R]: sorted index s = r*C + cstep
+            ord2 = jnp.transpose(
+                orders.reshape(nw, R, C), (0, 2, 1))      # [nw, C, R]
+            sx = jnp.transpose(jnp.take(xs, ord2, axis=1), (1, 2, 0, 3))
+            sy = jnp.transpose(jnp.take(ys, ord2, axis=1), (1, 2, 0, 3))
+            sinf = jnp.take(infu, ord2)                   # [nw, C, R]
+            sy = sy.at[:, :, 0, :].add(sinf << jnp.uint32(16))
+
+            prefix = self._leaf_prefix_pallas(sx, sy, nw)
+
+            # lane totals [L, nw, R] -> exclusive lane offsets
+            totals = tuple(
+                jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
+            incl = _roll_scan(G, totals, R)
+            offs = tuple(jnp.roll(a, 1, axis=-1) for a in incl)
+            offs = (offs[0], offs[1], offs[2].at[..., 0].set(0))
+
+            # flat within-lane prefixes [L, nw, C*R], index j = cstep*R + r
+            flat = tuple(
+                jnp.moveaxis(a, 2, 0).reshape(L, nw, C * R) for a in prefix)
+
+            ends = jax.vmap(
+                lambda d: jnp.searchsorted(d, bvals, side="right"))(
+                    d_sorted) - 1
+            starts = jax.vmap(
+                lambda d: jnp.searchsorted(d, bvals, side="left"))(
+                    d_sorted) - 1
+
+            def prefix_total(i, flat=flat, offs=offs, nw=nw):
+                gi = jnp.maximum(i, 0)
+                j = (gi % C) * R + gi // C
+                idx = jnp.broadcast_to(j[None], (L,) + j.shape)
+                P = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
+                lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
+                O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
+                T = G.add(P, O)
+                return (T[0], T[1], jnp.where((i >= 0)[None], T[2], 0))
+
+            buckets = G.add(prefix_total(ends), G.neg(prefix_total(starts)))
+
+            # S_w = sum_b b * bucket_b = sum of suffix sums
+            suffix = _roll_scan(G, buckets, nb, reverse=True)
+            S_parts.append(_reduce(G, suffix, nb))        # [L, nw, 1]
+
+        S = tuple(jnp.concatenate([p[k] for p in S_parts], axis=1)
+                  for k in range(3))
+
         def fold(T, S_w):
             T = jax.lax.fori_loop(0, c, lambda _, A: G.double(A), T)
             return G.add(T, S_w), None
