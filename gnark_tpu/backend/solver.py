@@ -71,15 +71,29 @@ def solve(cs, witness_values, *, check: bool = True,
     constraints/level); True forces it; False forces the scalar walk
     below, which is the semantics reference.
     """
-    if vectorized is None and getattr(cs, "levels", None):
+    want_np = vectorized
+    if want_np is None and getattr(cs, "levels", None):
         avg_width = cs.nb_constraints / max(1, len(cs.levels))
-        vectorized = avg_width >= 512
-    if vectorized:
+        want_np = avg_width >= 512
+    if want_np:
         from gnark_tpu.backend import np_solver
         out = np_solver.solve_np(cs, witness_values, check=check)
         if out is not None:
             values, a, b, c = out
             F = np_solver._plan_of(cs).field
+            sol = Solution(
+                limbs={"values": values, "a": a, "b": b, "c": c}, field=F)
+            if cs.logs:
+                _print_logs(cs, sol.values, cs.field_modulus)
+            return sol
+    if vectorized is not False and cs.nb_constraints >= 2048:
+        # narrow-level regime at scale: the C++ scalar core (~60ns per
+        # constraint vs ~3us for the python walk below)
+        from gnark_tpu.backend import native_solver, np_solver
+        out = native_solver.solve_native(cs, witness_values, check=check)
+        if out is not None:
+            values, a, b, c = out
+            F = np_solver.np_field(np_solver.spec_for_modulus(cs.field_modulus))
             sol = Solution(
                 limbs={"values": values, "a": a, "b": b, "c": c}, field=F)
             if cs.logs:

@@ -1,0 +1,327 @@
+// R1CS witness-solver core: C++ scalar walk over Montgomery limbs.
+//
+// The host-side counterpart of the reference's Go solver
+// (internal/backend/bn254/cs/r1cs.go:280 solveConstraint + parallelSolve):
+// python-int mulmods are ~3us/constraint, this loop is ~60ns — it is what
+// makes 2^20-constraint witness solving sub-second on the (1-core) TPU
+// host for NARROW level schedules, where the numpy leveled solver's
+// per-level vector-op overhead cannot amortize.
+//
+// Field arithmetic: generic N x 64-bit Montgomery (CIOS multiplication),
+// templated on the limb count and instantiated for every supported
+// scalar field width (4 = 256-bit fr family, 5/6 = BW6/BLS24 outer
+// fields, 8 / 12 = headroom for 512/768-bit).
+//
+// Wire values are exchanged with Python in REGULAR form, little-endian
+// 64-bit limbs, so numpy can reinterpret them as 16-bit limb planes for
+// the device without any per-element conversion.  Hint wires resolve
+// through a callback into Python which reads/writes the shared
+// values/solved buffers directly.
+
+#include <cstdint>
+#include <cstring>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+extern "C" {
+// returns 0 on success, nonzero on failure; may recursively resolve
+// other hints; must write outputs into the shared values buffer and set
+// solved flags.
+typedef int (*hint_cb_t)(void* ctx, int64_t hint_idx);
+}
+
+namespace {
+
+template <int N>
+struct Field {
+    u64 p[N];
+    u64 pinv;      // -p^{-1} mod 2^64
+    u64 r2[N];     // R^2 mod p (for to-Montgomery)
+    u64 one[N];    // R mod p (Montgomery 1)
+
+    void init(const u64* mod, const u64* r2_in, const u64* one_in) {
+        std::memcpy(p, mod, sizeof(p));
+        std::memcpy(r2, r2_in, sizeof(r2));
+        std::memcpy(one, one_in, sizeof(one));
+        // pinv via Newton iteration on 2-adics
+        u64 inv = 1;
+        for (int i = 0; i < 6; i++) inv *= 2 - p[0] * inv;
+        pinv = ~inv + 1;   // negate mod 2^64
+    }
+
+    static bool is_zero(const u64* a) {
+        u64 acc = 0;
+        for (int i = 0; i < N; i++) acc |= a[i];
+        return acc == 0;
+    }
+
+    bool geq_p(const u64* a) const {
+        for (int i = N - 1; i >= 0; i--) {
+            if (a[i] > p[i]) return true;
+            if (a[i] < p[i]) return false;
+        }
+        return true;   // equal
+    }
+
+    void cond_sub_p(u64* a) const {
+        if (!geq_p(a)) return;
+        u128 borrow = 0;
+        for (int i = 0; i < N; i++) {
+            u128 d = (u128)a[i] - p[i] - borrow;
+            a[i] = (u64)d;
+            borrow = (d >> 64) & 1;
+        }
+    }
+
+    void add(const u64* a, const u64* b, u64* out) const {
+        u128 carry = 0;
+        for (int i = 0; i < N; i++) {
+            u128 s = (u128)a[i] + b[i] + carry;
+            out[i] = (u64)s;
+            carry = s >> 64;
+        }
+        // inputs < p < 2^(64N); p < 2^(64N-1) is NOT guaranteed (N*64 can
+        // be tight) — but a+b < 2p < 2^(64N+1); if carry, subtract p once
+        if (carry) {
+            u128 borrow = 0;
+            for (int i = 0; i < N; i++) {
+                u128 d = (u128)out[i] - p[i] - borrow;
+                out[i] = (u64)d;
+                borrow = (d >> 64) & 1;
+            }
+        } else {
+            cond_sub_p(out);
+        }
+    }
+
+    void sub(const u64* a, const u64* b, u64* out) const {
+        u128 borrow = 0;
+        for (int i = 0; i < N; i++) {
+            u128 d = (u128)a[i] - b[i] - borrow;
+            out[i] = (u64)d;
+            borrow = (d >> 64) & 1;
+        }
+        if (borrow) {
+            u128 carry = 0;
+            for (int i = 0; i < N; i++) {
+                u128 s = (u128)out[i] + p[i] + carry;
+                out[i] = (u64)s;
+                carry = s >> 64;
+            }
+        }
+    }
+
+    // CIOS Montgomery multiplication: out = a*b*R^{-1} mod p
+    void mmul(const u64* a, const u64* b, u64* out) const {
+        u64 t[N + 2];
+        for (int i = 0; i < N + 2; i++) t[i] = 0;
+        for (int i = 0; i < N; i++) {
+            u128 carry = 0;
+            for (int j = 0; j < N; j++) {
+                u128 cur = (u128)a[i] * b[j] + t[j] + carry;
+                t[j] = (u64)cur;
+                carry = cur >> 64;
+            }
+            u128 s = (u128)t[N] + carry;
+            t[N] = (u64)s;
+            t[N + 1] = (u64)(s >> 64);
+
+            u64 m = t[0] * pinv;
+            carry = ((u128)m * p[0] + t[0]) >> 64;
+            for (int j = 1; j < N; j++) {
+                u128 cur = (u128)m * p[j] + t[j] + carry;
+                t[j - 1] = (u64)cur;
+                carry = cur >> 64;
+            }
+            s = (u128)t[N] + carry;
+            t[N - 1] = (u64)s;
+            t[N] = t[N + 1] + (u64)(s >> 64);
+            t[N + 1] = 0;
+        }
+        for (int i = 0; i < N; i++) out[i] = t[i];
+        // tight moduli (e.g. Goldilocks: p ~ 2^64) can leave an overflow
+        // limb in t[N]; fold it by subtracting p until it clears
+        while (t[N]) {
+            u128 borrow = 0;
+            for (int i = 0; i < N; i++) {
+                u128 d = (u128)out[i] - p[i] - borrow;
+                out[i] = (u64)d;
+                borrow = (d >> 64) & 1;
+            }
+            t[N] -= (u64)borrow;
+        }
+        cond_sub_p(out);
+    }
+
+    void to_mont(const u64* a, u64* out) const { mmul(a, r2, out); }
+
+    void from_mont(const u64* a, u64* out) const {
+        u64 onev[N] = {0};
+        onev[0] = 1;
+        mmul(a, onev, out);
+    }
+
+    // regular a * regular b mod p (two REDC passes)
+    void mulmod(const u64* a, const u64* b, u64* out) const {
+        u64 t[N];
+        mmul(a, b, t);
+        mmul(t, r2, out);
+    }
+
+    // inverse of a regular value via Fermat (a^(p-2)); 0 -> 0
+    void invmod(const u64* a, u64* out) const {
+        if (is_zero(a)) { std::memcpy(out, a, sizeof(u64) * N); return; }
+        u64 base[N], acc[N], e[N];
+        to_mont(a, base);
+        std::memcpy(acc, one, sizeof(acc));
+        // e = p - 2 (p odd > 2: no net borrow)
+        u64 br = 2;
+        for (int i = 0; i < N; i++) {
+            u128 d = (u128)p[i] - br;
+            e[i] = (u64)d;
+            br = (u64)((d >> 64) & 1);
+        }
+        for (int i = N - 1; i >= 0; i--) {
+            for (int bit = 63; bit >= 0; bit--) {
+                mmul(acc, acc, acc);
+                if ((e[i] >> bit) & 1) mmul(acc, base, acc);
+            }
+        }
+        from_mont(acc, out);
+    }
+};
+
+struct SolveArgs {
+    int64_t m, nwires, nb_in, ncoeff;
+    const int64_t* indptr[3];
+    const int64_t* wires[3];
+    const int64_t* cids[3];
+    const u64* coeffs_mont;   // [ncoeff][N] (premultiplied by R)
+    const u64* coeffs_inv;    // [ncoeff][N] inverses, Montgomery form
+    u64* values;              // [nwires][N] regular (shared with Python)
+    uint8_t* solved;          // [nwires]    (shared with Python)
+    const int64_t* wire_to_hint;  // [nwires], -1 = none
+    u64* av; u64* bv; u64* cv;    // [m][N] regular
+    hint_cb_t hint_cb;
+    void* cb_ctx;
+    int check;
+};
+
+template <int N>
+int64_t solve_loop(const Field<N>& F, const SolveArgs& A) {
+    u64 sums[3][N];
+    u64 tmp[N], term[N], inv[N];
+    for (int64_t ci = 0; ci < A.m; ci++) {
+        int unknown_side = -1;
+        int64_t unknown_wire = -1, unknown_cid = -1;
+        for (int side = 0; side < 3; side++) {
+            u64* acc = sums[side];
+            std::memset(acc, 0, sizeof(u64) * N);
+            const int64_t lo = A.indptr[side][ci], hi = A.indptr[side][ci + 1];
+            for (int64_t k = lo; k < hi; k++) {
+                const int64_t w = A.wires[side][k];
+                if (!A.solved[w]) {
+                    const int64_t h = A.wire_to_hint[w];
+                    if (h >= 0) {
+                        if (A.hint_cb(A.cb_ctx, h) != 0) return -3;  // hint err
+                        if (!A.solved[w]) return -3;
+                    } else {
+                        if (unknown_wire >= 0) return -5;   // 2 unknowns
+                        unknown_side = side;
+                        unknown_wire = w;
+                        unknown_cid = A.cids[side][k];
+                        continue;
+                    }
+                }
+                // acc += coeff_mont * value  (one REDC: result regular)
+                F.mmul(A.coeffs_mont + A.cids[side][k] * N,
+                       A.values + w * N, tmp);
+                F.add(acc, tmp, acc);
+            }
+        }
+        u64 *a = sums[0], *b = sums[1], *c = sums[2];
+        if (unknown_wire < 0) {
+            if (A.check) {
+                F.mulmod(a, b, tmp);
+                if (std::memcmp(tmp, c, sizeof(u64) * N) != 0)
+                    return ci;   // unsatisfied
+            }
+        } else {
+            std::memset(term, 0, sizeof(term));
+            if (unknown_side == 0) {
+                if (!Field<N>::is_zero(b)) {
+                    F.invmod(b, inv);
+                    F.mulmod(c, inv, term);
+                    F.sub(term, a, term);
+                    F.add(a, term, a);
+                } else if (A.check) {
+                    F.mulmod(a, b, tmp);
+                    if (std::memcmp(tmp, c, sizeof(u64) * N) != 0) return ci;
+                }
+            } else if (unknown_side == 1) {
+                if (!Field<N>::is_zero(a)) {
+                    F.invmod(a, inv);
+                    F.mulmod(c, inv, term);
+                    F.sub(term, b, term);
+                    F.add(b, term, b);
+                } else if (A.check) {
+                    F.mulmod(a, b, tmp);
+                    if (std::memcmp(tmp, c, sizeof(u64) * N) != 0) return ci;
+                }
+            } else {
+                F.mulmod(a, b, term);
+                F.sub(term, c, term);
+                F.add(c, term, c);
+            }
+            // value = term * coeff^{-1} (inverse precomputed, mont form:
+            // one REDC mul yields the regular-form product)
+            F.mmul(A.coeffs_inv + unknown_cid * N, term,
+                   A.values + unknown_wire * N);
+            A.solved[unknown_wire] = 1;
+        }
+        std::memcpy(A.av + ci * N, a, sizeof(u64) * N);
+        std::memcpy(A.bv + ci * N, b, sizeof(u64) * N);
+        std::memcpy(A.cv + ci * N, c, sizeof(u64) * N);
+    }
+    return -1;   // success
+}
+
+}  // namespace
+
+extern "C" {
+
+// returns: -1 success; >= 0 failing constraint id; -3 hint error;
+//          -2-4k: constraint k has two unknown wires; -4 bad nlimbs
+int64_t gnark_solve_r1cs(
+    int nlimbs,
+    const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t m, int64_t nwires, int64_t ncoeff,
+    const int64_t* indptr_l, const int64_t* wires_l, const int64_t* cids_l,
+    const int64_t* indptr_r, const int64_t* wires_r, const int64_t* cids_r,
+    const int64_t* indptr_o, const int64_t* wires_o, const int64_t* cids_o,
+    const u64* coeffs_mont, const u64* coeffs_inv,
+    u64* values, uint8_t* solved, const int64_t* wire_to_hint,
+    u64* av, u64* bv, u64* cv,
+    hint_cb_t hint_cb, void* cb_ctx, int check) {
+    SolveArgs A;
+    A.m = m; A.nwires = nwires; A.ncoeff = ncoeff;
+    A.indptr[0] = indptr_l; A.wires[0] = wires_l; A.cids[0] = cids_l;
+    A.indptr[1] = indptr_r; A.wires[1] = wires_r; A.cids[1] = cids_r;
+    A.indptr[2] = indptr_o; A.wires[2] = wires_o; A.cids[2] = cids_o;
+    A.coeffs_mont = coeffs_mont;
+    A.coeffs_inv = coeffs_inv;
+    A.values = values; A.solved = solved; A.wire_to_hint = wire_to_hint;
+    A.av = av; A.bv = bv; A.cv = cv;
+    A.hint_cb = hint_cb; A.cb_ctx = cb_ctx; A.check = check;
+
+    switch (nlimbs) {
+#define CASE(NN) case NN: { Field<NN> F; F.init(modulus, r2, one_mont); \
+                            return solve_loop<NN>(F, A); }
+        CASE(1) CASE(2) CASE(3) CASE(4) CASE(5) CASE(6) CASE(8) CASE(12)
+#undef CASE
+        default: return -4;
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,158 @@
+"""Phase-level timing of the Pallas windowed MSM at a given size."""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from gnark_tpu.backend.groth16 import ints_to_limbs
+from gnark_tpu.curves import BN254
+from gnark_tpu.ops.ec import CurveOps
+from gnark_tpu.ops.limbs import field_ops
+from gnark_tpu.ops import msm as msm_mod
+from gnark_tpu.ops.msm import MSM, window_digits, _roll_scan, _reduce
+
+
+def timeit(label, fn, *args, iters=3):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.tree_util.tree_map(lambda a: np.asarray(a) if hasattr(a, "shape") else a, out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label:28s} {dt*1e3:8.1f} ms", flush=True)
+    return out
+
+
+def main():
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    lanes = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    n = 1 << log2n
+    curve = BN254
+    fp = field_ops(curve.fp)
+    G = CurveOps(fp)
+    host = curve.host_g1
+
+    import random
+    rng = random.Random(5)
+    base_pts = []
+    P = curve.g1_gen
+    for _ in range(64):
+        base_pts.append(P)
+        P = host.double(P)
+    xs = jnp.tile(fp.pack([p[0] for p in base_pts]), (1, n // 64))
+    ys = jnp.tile(fp.pack([p[1] for p in base_pts]), (1, n // 64))
+    inf = jnp.zeros((n,), bool)
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
+
+    plan = MSM(G, n, curve.fr.L, c=c, lanes=lanes, method="window_pallas")
+    print(f"plan: c={plan.c} nwin={plan.nwin} R={plan.R} C={plan.C}")
+    cc, R, C, nwin = plan.c, plan.R, plan.C, plan.nwin
+    n_pad = plan.n_pad
+    nb = (1 << cc) - 1
+    L = curve.fp.L
+
+    @jax.jit
+    def digits_fn(scalars, inf_mask):
+        return jnp.where(inf_mask[None], 0, window_digits(scalars, cc))
+
+    digits = timeit("digits", digits_fn, sc, inf)
+
+    @jax.jit
+    def sort_fn(dg):
+        orders = jax.vmap(jnp.argsort)(dg)
+        d_sorted = jnp.take_along_axis(dg, orders, axis=1)
+        return orders, d_sorted
+
+    orders, d_sorted = timeit("argsort", sort_fn, digits)
+
+    @jax.jit
+    def gather_fn(xs, ys, inf_mask, orders):
+        ord2 = jnp.transpose(orders.reshape(nwin, R, C), (0, 2, 1))
+        sx = jnp.transpose(jnp.take(xs, ord2, axis=1), (1, 2, 0, 3))
+        sy = jnp.transpose(jnp.take(ys, ord2, axis=1), (1, 2, 0, 3))
+        sinf = jnp.take(inf_mask.astype(jnp.uint32), ord2)
+        sy = sy.at[:, :, 0, :].add(sinf << jnp.uint32(16))
+        return sx, sy
+
+    sx, sy = timeit("gather+relayout", gather_fn, xs, ys, inf, orders)
+
+    leaf = jax.jit(lambda a, b: plan._leaf_prefix_pallas(a, b, nwin))
+    prefix = timeit("leaf kernel (pallas)", leaf, sx, sy)
+
+    @jax.jit
+    def lane_fn(px, py, pz):
+        prefix = (px, py, pz)
+        totals = tuple(jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
+        incl = _roll_scan(G, totals, R)
+        offs = tuple(jnp.roll(a, 1, axis=-1) for a in incl)
+        return (offs[0], offs[1], offs[2].at[..., 0].set(0))
+
+    offs = timeit("lane-offset scan", lane_fn, *prefix)
+
+    bvals = jnp.arange(1, 1 << cc, dtype=jnp.int32)
+
+    @jax.jit
+    def bounds_fn(d_sorted):
+        ends = jax.vmap(lambda d: jnp.searchsorted(d, bvals, side="right"))(d_sorted) - 1
+        starts = jax.vmap(lambda d: jnp.searchsorted(d, bvals, side="left"))(d_sorted) - 1
+        return ends, starts
+
+    ends, starts = timeit("searchsorted", bounds_fn, d_sorted)
+
+    @jax.jit
+    def bucket_fn(px, py, pz, ox, oy, oz, ends, starts):
+        prefix = (px, py, pz)
+        offs = (ox, oy, oz)
+        flat = tuple(jnp.moveaxis(a, 2, 0).reshape(L, nwin, C * R) for a in prefix)
+
+        def prefix_total(i):
+            gi = jnp.maximum(i, 0)
+            j = (gi % C) * R + gi // C
+            idx = jnp.broadcast_to(j[None], (L,) + j.shape)
+            Pp = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
+            lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
+            O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
+            T = G.add(Pp, O)
+            return (T[0], T[1], jnp.where((i >= 0)[None], T[2], 0))
+
+        return G.add(prefix_total(ends), G.neg(prefix_total(starts)))
+
+    buckets = timeit("bucket extraction", bucket_fn, *prefix, *offs, ends, starts)
+
+    @jax.jit
+    def wsum_fn(bx, by, bz):
+        suffix = _roll_scan(G, (bx, by, bz), nb, reverse=True)
+        return _reduce(G, suffix, nb)
+
+    S = timeit("weighted suffix sum", wsum_fn, *buckets)
+
+    @jax.jit
+    def fold_fn(sx_, sy_, sz_):
+        S = (sx_, sy_, sz_)
+
+        def fold(T, S_w):
+            T = jax.lax.fori_loop(0, cc, lambda _, A: G.double(A), T)
+            return G.add(T, S_w), None
+
+        top = tuple(a[:, -1, :] for a in S)
+        rest = tuple(jnp.moveaxis(a[:, -2::-1, :], 1, 0) for a in S)
+        T, _ = jax.lax.scan(fold, top, rest)
+        return T
+
+    timeit("horner fold", fold_fn, *S)
+
+
+if __name__ == "__main__":
+    main()
