@@ -116,6 +116,29 @@ class Proof:
 # ---- setup ---------------------------------------------------------------------
 
 
+def _qap_at_tau_native(cs, fr_spec, tau: int, n: int, nat):
+    """Native-core QAP evaluation: per-wire A_i(tau), B_i(tau), C_i(tau)
+    as [nw, N] uint64 limb rows (regular form).  Same math as
+    _qap_at_tau, with every O(m)/O(nnz) pass in C (setup.go:278-355)."""
+    q = cs.field_modulus
+    m = cs.nb_constraints
+    omega = fr_spec.root_of_unity(n)
+    wc = nat.powers(omega, m)                       # [m, N]: w^c
+    zeros = np.zeros_like(wc)
+    tau_b = np.broadcast_to(nat.pack([tau]), wc.shape).copy()
+    dens = nat.lincomb3(wc, zeros, tau_b, q - 1, 0, 1)   # tau - w^c
+    dens_inv = nat.batch_inv(dens)
+    zt = (pow(tau, n, q) - 1) % q
+    base = zt * pow(n, -1, q) % q
+    lag = nat.vecmul(nat.vecmul(wc, dens_inv), base)
+    coeffs_mont = nat.pack_mont(cs.coeffs)
+    nw = cs.nb_wires
+    A = nat.qap_accumulate(cs.L, coeffs_mont, lag, nw)
+    B = nat.qap_accumulate(cs.R, coeffs_mont, lag, nw)
+    C = nat.qap_accumulate(cs.O, coeffs_mont, lag, nw)
+    return A, B, C, zt
+
+
 def _qap_at_tau(cs, fr_spec, tau: int, n: int):
     """Per-wire QAP evaluations A_i(tau), B_i(tau), C_i(tau) (host ints).
 
@@ -289,64 +312,94 @@ def setup(cs, curve, rng=None, host=False):
 
     tau, alpha, beta, gamma, delta = (sample_nonzero() for _ in range(5))
     n = _next_pow2(cs.nb_constraints)
-    A, B, C, zt = _qap_at_tau(cs, curve.fr, tau, n)
 
     gamma_inv = pow(gamma, -1, q)
     delta_inv = pow(delta, -1, q)
     nb_pub = cs.nb_public
     nw = cs.nb_wires
 
-    vk_k = [(beta * A[i] + alpha * B[i] + C[i]) * gamma_inv % q
-            for i in range(nb_pub)]
-    pk_k = [(beta * A[i] + alpha * B[i] + C[i]) * delta_inv % q
-            for i in range(nb_pub, nw)]
-    # Z powers tau^j * Z(tau)/delta for j in 0..n-1, stored bit-reversed so
-    # the prover's coset-iFFT output feeds the MSM directly (setup.go:228).
-    # h has degree n-2, so the j = n-1 slot multiplies a zero coefficient.
-    zs = []
-    t = zt * delta_inv % q
-    for _ in range(n):
-        zs.append(t)
-        t = t * tau % q
-    zs_brev = [zs[i] for i in bit_reverse_perm(n)]
+    from gnark_tpu.backend.native_field import nat_for
+    nat = nat_for(q)
+    if nat.available:
+        # every O(m)/O(nw) pass on the C Montgomery core (setup.go:278)
+        A64, B64, C64, zt = _qap_at_tau_native(cs, curve.fr, tau, n, nat)
+        vk_k = nat.unpack(nat.lincomb3(
+            A64[:nb_pub], B64[:nb_pub], C64[:nb_pub], beta, alpha, gamma_inv))
+        pk_k64 = nat.lincomb3(
+            A64[nb_pub:], B64[nb_pub:], C64[nb_pub:], beta, alpha, delta_inv)
+        zs64 = nat.powers(tau, n, start=zt * delta_inv % q)
+        zs_brev64 = zs64[np.asarray(bit_reverse_perm(n))]
+        A = A64
+        B = B64
+        scalar_batches = {"A": A64, "B": B64, "K": pk_k64, "Z": zs_brev64}
+    else:
+        A, B, C, zt = _qap_at_tau(cs, curve.fr, tau, n)
+        vk_k = [(beta * A[i] + alpha * B[i] + C[i]) * gamma_inv % q
+                for i in range(nb_pub)]
+        pk_k = [(beta * A[i] + alpha * B[i] + C[i]) * delta_inv % q
+                for i in range(nb_pub, nw)]
+        # Z powers tau^j * Z(tau)/delta for j in 0..n-1, bit-reversed so
+        # the prover's coset-iFFT output feeds the MSM directly
+        # (setup.go:228).  h has degree n-2: slot n-1 hits a zero coeff.
+        zs = []
+        t = zt * delta_inv % q
+        for _ in range(n):
+            zs.append(t)
+            t = t * tau % q
+        zs_brev = [zs[i] for i in bit_reverse_perm(n)]
+        scalar_batches = {"A": A, "B": B, "K": pk_k, "Z": zs_brev}
 
     # one padded shape for every G1 batch -> ONE compiled kernel serves
     # A/B1/K/Z (and the prover reuses the same padded MSM plan shape)
     n_pad = _next_pow2(max(nw, n, 2))
     Ls = curve.fr.L
 
+    def to_plane_u32(scalars):
+        """int list OR [k, N] u64 rows -> [Ls, n_pad] uint32 regular limbs."""
+        if isinstance(scalars, np.ndarray):
+            planes = nat.planes(scalars, Ls).astype(np.uint32)
+            k = planes.shape[1]
+            if k < n_pad:
+                planes = np.pad(planes, ((0, 0), (0, n_pad - k)))
+            return planes
+        return np.asarray(
+            ints_to_limbs(list(scalars) + [0] * (n_pad - len(scalars)), Ls))
+
     if host:
         host1, host2h = curve.host_g1, curve.host_g2
+
+        def as_ints(scalars):
+            vals = (nat.unpack(scalars)
+                    if isinstance(scalars, np.ndarray) else list(scalars))
+            return vals + [0] * (n_pad - len(vals))
 
         def g1_batch(scalars):
             return [None if s % q == 0
                     else host1.scalar_mul(curve.g1_gen, s % q)
-                    for s in scalars + [0] * (n_pad - len(scalars))]
+                    for s in as_ints(scalars)]
 
         def g2_batch(scalars):
             return [None if s % q == 0
                     else host2h.scalar_mul(curve.g2_gen, s % q)
-                    for s in scalars + [0] * (n_pad - len(scalars))]
+                    for s in as_ints(scalars)]
     else:
         K = _CurveKernels(curve)
         fb1 = K.fixed_base_g1(curve.g1_gen)
         fb2 = K.fixed_base_g2(curve.g2_gen)
 
         def g1_batch(scalars):
-            scalars = scalars + [0] * (n_pad - len(scalars))  # 0 -> inf
-            pts = fb1(jnp.asarray(ints_to_limbs(scalars, Ls)))
+            pts = fb1(jnp.asarray(to_plane_u32(scalars)))   # 0 -> inf
             return K.g1.to_affine(pts)
 
         def g2_batch(scalars):
-            scalars = scalars + [0] * (n_pad - len(scalars))
-            pts = fb2(jnp.asarray(ints_to_limbs(scalars, Ls)))
+            pts = fb2(jnp.asarray(to_plane_u32(scalars)))
             return K.g2.to_affine(pts)
 
-    A_pts = g1_batch(A)
-    B1_pts = g1_batch(B)
-    K_pts = g1_batch(pk_k)
-    Z_pts = g1_batch(zs_brev)
-    B2_pts = g2_batch(B)
+    A_pts = g1_batch(scalar_batches["A"])
+    B1_pts = g1_batch(scalar_batches["B"])
+    K_pts = g1_batch(scalar_batches["K"])
+    Z_pts = g1_batch(scalar_batches["Z"])
+    B2_pts = g2_batch(scalar_batches["B"])
 
     host1, host2 = curve.host_g1, curve.host_g2
     g1 = curve.g1_gen
@@ -496,24 +549,29 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True,
     n = pk.domain_n
     Ls = curve.fr.L
 
-    def padded_mont(vals):
-        arr = ints_to_limbs(vals + [0] * (n - len(vals)), Ls)
-        return K.fr.to_mont(jnp.asarray(arr))
+    def limb_planes(name, start=0):
+        """Solution vector -> [Ls, k] uint32 regular planes, zero int
+        round-trips when the solver produced limb planes directly."""
+        if sol.limbs is not None:
+            return np.asarray(sol.limbs[name][:, start:], np.uint32)
+        vals = getattr(sol, name)[start:]
+        return np.asarray(ints_to_limbs(vals, Ls), np.uint32)
+
+    def pad_to(arr, k):
+        return jnp.asarray(np.pad(arr, ((0, 0), (0, k - arr.shape[1]))))
 
     domain = _domain_cache(curve.fr, n)
     with profiling.phase("groth16.compute_h"):
         h_brev = K.fr.from_mont(
-            _compute_h(domain, padded_mont(sol.a), padded_mont(sol.b),
-                       padded_mont(sol.c)))
+            _compute_h(domain,
+                       K.fr.to_mont(pad_to(limb_planes("a"), n)),
+                       K.fr.to_mont(pad_to(limb_planes("b"), n)),
+                       K.fr.to_mont(pad_to(limb_planes("c"), n))))
         n_pad = pk.n_pad
         h_brev = jnp.pad(h_brev, ((0, 0), (0, n_pad - n)))
 
-    def scalars_padded(vals):
-        return jnp.asarray(
-            ints_to_limbs(vals + [0] * (n_pad - len(vals)), Ls))
-
-    wires = scalars_padded(sol.values)
-    priv = scalars_padded(sol.values[cs.nb_public:])
+    wires = pad_to(limb_planes("values"), n_pad)
+    priv = pad_to(limb_planes("values", cs.nb_public), n_pad)
 
     r, s = rnd(q), rnd(q)
 

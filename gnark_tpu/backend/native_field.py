@@ -1,0 +1,154 @@
+"""ctypes bridge to the native field-vector helpers (solver_core.cpp):
+powers, batch inversion, QAP accumulation, 3-term linear combination.
+
+These are the host-side O(n) passes of Groth16 setup (setup.go:278-355)
+and the PLONK prover's coefficient bookkeeping, moved off python ints
+(~1-3us/op) onto the C Montgomery core (~60ns/op).
+
+All values cross the boundary as [n, N] uint64 little-endian limb rows,
+regular form; `Nat.planes`/`Nat.from_planes` convert to/from the 16-bit
+limb-plane layout shared with np_field and the device kernels.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+
+import numpy as np
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def _nlimbs64(q: int) -> int:
+    n = -(-q.bit_length() // 64)
+    for cand in (1, 2, 3, 4, 5, 6, 8, 12):
+        if cand >= n:
+            return cand
+    raise ValueError(f"modulus too wide: {q.bit_length()} bits")
+
+
+class Nat:
+    """Native field-vector ops for one modulus (None-safe: `available`)."""
+
+    def __init__(self, q: int):
+        from gnark_tpu.native import solver_lib
+        self.lib = solver_lib()
+        self.q = q
+        self.N = _nlimbs64(q)
+        R = pow(2, 64 * self.N, q)
+        self.R = R
+        self._mod = self.pack([q])
+        self._r2 = self.pack([R * R % q])
+        self._one = self.pack([R % q])
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    # -- conversions -----------------------------------------------------------
+
+    def pack(self, ints) -> np.ndarray:
+        buf = b"".join(int(v).to_bytes(8 * self.N, "little") for v in ints)
+        return np.frombuffer(buf, dtype="<u8").reshape(len(ints), self.N).copy()
+
+    def pack_mont(self, ints) -> np.ndarray:
+        q, R = self.q, self.R
+        return self.pack([int(v) % q * R % q for v in ints])
+
+    def unpack(self, arr) -> list:
+        raw = np.ascontiguousarray(arr, dtype="<u8").tobytes()
+        nb = 8 * arr.shape[1]
+        return [int.from_bytes(raw[i * nb:(i + 1) * nb], "little")
+                for i in range(arr.shape[0])]
+
+    def planes(self, arr64, L16) -> np.ndarray:
+        """[n, N] u64 -> [L16, n] u64 16-bit limb planes (np_field layout)."""
+        import sys
+        assert sys.byteorder == "little"
+        n, N = arr64.shape
+        u16 = np.ascontiguousarray(arr64).view(np.uint16).reshape(n, 4 * N)
+        k = min(L16, 4 * N)
+        if k == L16:
+            return u16[:, :k].T.astype(np.uint64)
+        out = np.zeros((L16, n), np.uint64)
+        out[:k] = u16[:, :k].T
+        return out
+
+    def _hdr(self):
+        return (ctypes.c_int(self.N), self._ptr(self._mod),
+                self._ptr(self._r2), self._ptr(self._one))
+
+    @staticmethod
+    def _ptr(a):
+        return a.ctypes.data_as(_U64P)
+
+    # -- vector ops -------------------------------------------------------------
+
+    def powers(self, base: int, n: int, start: int = 1) -> np.ndarray:
+        """[start, start*base, ..., start*base^(n-1)] as [n, N] regular."""
+        out = np.zeros((n, self.N), np.uint64)
+        base_m = self.pack_mont([base])
+        st = self.pack([start])
+        rc = self.lib.gnark_powers(*self._hdr(), ctypes.c_int64(n),
+                                   self._ptr(base_m), self._ptr(st),
+                                   self._ptr(out))
+        assert rc == 0
+        return out
+
+    def batch_inv(self, vals: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(vals)
+        rc = self.lib.gnark_batch_inv(*self._hdr(),
+                                      ctypes.c_int64(vals.shape[0]),
+                                      self._ptr(vals), self._ptr(out))
+        assert rc == 0
+        return out
+
+    def qap_accumulate(self, mat, coeffs_mont: np.ndarray,
+                       lag: np.ndarray, nw: int) -> np.ndarray:
+        """CSR matrix + per-constraint Lagrange values -> per-wire sums."""
+        out = np.zeros((nw, self.N), np.uint64)
+        indptr = np.ascontiguousarray(np.asarray(mat.indptr), np.int64)
+        wires = np.ascontiguousarray(np.asarray(mat.wires), np.int64)
+        cids = np.ascontiguousarray(np.asarray(mat.coeffs), np.int64)
+        m = len(indptr) - 1
+        rc = self.lib.gnark_qap_accumulate(
+            *self._hdr(), ctypes.c_int64(m),
+            indptr.ctypes.data_as(_I64P), wires.ctypes.data_as(_I64P),
+            cids.ctypes.data_as(_I64P),
+            self._ptr(coeffs_mont), self._ptr(lag), self._ptr(out))
+        assert rc == 0
+        return out
+
+    def vecmul(self, a: np.ndarray, b) -> np.ndarray:
+        """Elementwise a[i]*b[i] (or a[i]*b if b is a scalar int)."""
+        out = np.zeros_like(a)
+        if isinstance(b, int):
+            barr, stride = self.pack([b % self.q]), 0
+        else:
+            barr, stride = np.ascontiguousarray(b), 1
+        rc = self.lib.gnark_vecmul(
+            *self._hdr(), ctypes.c_int64(a.shape[0]),
+            self._ptr(np.ascontiguousarray(a)), self._ptr(barr),
+            ctypes.c_int64(stride), self._ptr(out))
+        assert rc == 0
+        return out
+
+    def lincomb3(self, A, B, C, ka: int, kb: int, s: int) -> np.ndarray:
+        """(ka*A + kb*B + C) * s elementwise over [n, N] regular arrays."""
+        out = np.zeros_like(A)
+        rc = self.lib.gnark_lincomb3(
+            *self._hdr(), ctypes.c_int64(A.shape[0]),
+            self._ptr(np.ascontiguousarray(A)),
+            self._ptr(np.ascontiguousarray(B)),
+            self._ptr(np.ascontiguousarray(C)),
+            self._ptr(self.pack_mont([ka])), self._ptr(self.pack_mont([kb])),
+            self._ptr(self.pack_mont([s])), self._ptr(out))
+        assert rc == 0
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def nat_for(q: int) -> Nat:
+    return Nat(q)

@@ -287,6 +287,82 @@ int64_t solve_loop(const Field<N>& F, const SolveArgs& A) {
     return -1;   // success
 }
 
+template <int N>
+void qap_accumulate(const Field<N>& F, int64_t m,
+                    const int64_t* indptr, const int64_t* wires,
+                    const int64_t* cids, const u64* coeffs_mont,
+                    const u64* lag, u64* out) {
+    u64 t[N];
+    for (int64_t c = 0; c < m; c++) {
+        const u64* lc = lag + c * N;
+        for (int64_t k = indptr[c]; k < indptr[c + 1]; k++) {
+            F.mmul(coeffs_mont + cids[k] * N, lc, t);
+            u64* o = out + wires[k] * N;
+            F.add(o, t, o);
+        }
+    }
+}
+
+template <int N>
+void lincomb3(const Field<N>& F, int64_t n, const u64* A, const u64* B,
+              const u64* C, const u64* ka_m, const u64* kb_m,
+              const u64* s_m, u64* out) {
+    u64 t[N], u[N];
+    for (int64_t i = 0; i < n; i++) {
+        F.mmul(ka_m, A + i * N, t);
+        F.mmul(kb_m, B + i * N, u);
+        F.add(t, u, t);
+        F.add(t, C + i * N, t);
+        F.mmul(s_m, t, out + i * N);
+    }
+}
+
+template <int N>
+void powers(const Field<N>& F, int64_t n, const u64* base_m,
+            const u64* start, u64* out) {
+    if (n <= 0) return;
+    std::memcpy(out, start, sizeof(u64) * N);
+    for (int64_t i = 1; i < n; i++)
+        F.mmul(base_m, out + (i - 1) * N, out + i * N);
+}
+
+template <int N>
+void vecmul(const Field<N>& F, int64_t n, const u64* a, const u64* b,
+            int64_t stride_b, u64* out) {
+    for (int64_t i = 0; i < n; i++)
+        F.mulmod(a + i * N, b + i * stride_b * N, out + i * N);
+}
+
+template <int N>
+void batch_inv(const Field<N>& F, int64_t n, const u64* vals, u64* out) {
+    // classic Montgomery trick, all regular form (mulmod = 2 REDC):
+    // O(n) muls + ONE Fermat inversion; zeros map to zero
+    // (fr.BatchInvert semantics)
+    u64* prefix = new u64[(n + 1) * N];
+    std::memset(prefix, 0, sizeof(u64) * N);
+    prefix[0] = 1;
+    for (int64_t i = 0; i < n; i++) {
+        const u64* v = vals + i * N;
+        if (Field<N>::is_zero(v))
+            std::memcpy(prefix + (i + 1) * N, prefix + i * N,
+                        sizeof(u64) * N);
+        else
+            F.mulmod(prefix + i * N, v, prefix + (i + 1) * N);
+    }
+    u64 inv[N];
+    F.invmod(prefix + n * N, inv);
+    for (int64_t i = n - 1; i >= 0; i--) {
+        const u64* v = vals + i * N;
+        if (Field<N>::is_zero(v)) {
+            std::memset(out + i * N, 0, sizeof(u64) * N);
+        } else {
+            F.mulmod(prefix + i * N, inv, out + i * N);
+            F.mulmod(inv, v, inv);
+        }
+    }
+    delete[] prefix;
+}
+
 }  // namespace
 
 extern "C" {
@@ -323,5 +399,62 @@ int64_t gnark_solve_r1cs(
         default: return -4;
     }
 }
+
+#define DISPATCH(body) \
+    switch (nlimbs) { \
+        case 1: { Field<1> F; F.init(modulus, r2, one_mont); body; break; } \
+        case 2: { Field<2> F; F.init(modulus, r2, one_mont); body; break; } \
+        case 3: { Field<3> F; F.init(modulus, r2, one_mont); body; break; } \
+        case 4: { Field<4> F; F.init(modulus, r2, one_mont); body; break; } \
+        case 5: { Field<5> F; F.init(modulus, r2, one_mont); body; break; } \
+        case 6: { Field<6> F; F.init(modulus, r2, one_mont); body; break; } \
+        case 8: { Field<8> F; F.init(modulus, r2, one_mont); body; break; } \
+        case 12: { Field<12> F; F.init(modulus, r2, one_mont); body; break; } \
+        default: return -4; \
+    } \
+    return 0;
+
+// out[w] += sum_c coeff_mont[cid] * lag[c] over one CSR matrix — the QAP
+// per-wire accumulation of groth16 setup (setup.go:278 evaluation of
+// A_i/B_i/C_i at tau via Lagrange values)
+int64_t gnark_qap_accumulate(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t m, const int64_t* indptr, const int64_t* wires,
+    const int64_t* cids, const u64* coeffs_mont, const u64* lag,
+    u64* out) {
+    DISPATCH(qap_accumulate(F, m, indptr, wires, cids, coeffs_mont, lag, out))
+}
+
+// out[i] = (ka*A[i] + kb*B[i] + C[i]) * s — the beta*A + alpha*B + C
+// key combination of setup.go:300 (ka/kb/s supplied in Montgomery form)
+int64_t gnark_lincomb3(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* A, const u64* B, const u64* C,
+    const u64* ka_m, const u64* kb_m, const u64* s_m, u64* out) {
+    DISPATCH(lincomb3(F, n, A, B, C, ka_m, kb_m, s_m, out))
+}
+
+// out[i] = start * base^i (base in Montgomery form, start/out regular)
+int64_t gnark_powers(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* base_m, const u64* start, u64* out) {
+    DISPATCH(powers(F, n, base_m, start, out))
+}
+
+// out[i] = a[i] * b[i*stride_b] (regular form; stride_b 0 = broadcast)
+int64_t gnark_vecmul(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* a, const u64* b, int64_t stride_b, u64* out) {
+    DISPATCH(vecmul(F, n, a, b, stride_b, out))
+}
+
+// out[i] = vals[i]^{-1} (regular form, zeros -> zeros)
+int64_t gnark_batch_inv(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* vals, u64* out) {
+    DISPATCH(batch_inv(F, n, vals, out))
+}
+
+#undef DISPATCH
 
 }  // extern "C"
