@@ -206,7 +206,13 @@ class _CurveKernels:
             self.curve = curve
             self.fr = field_ops(curve.fr)
             self.fp = field_ops(curve.fp)
-            self.fp2 = fp2_ops(curve.fp, curve.fp2_beta)
+            # BW6 family: the sextic twist lives over fp itself, so the
+            # G2 kernels are the fp kernels (one code path, different
+            # field-ops object — the CurveSpec-generic design paying off)
+            if getattr(curve, "g2_over_fp", False):
+                self.fp2 = self.fp
+            else:
+                self.fp2 = fp2_ops(curve.fp, curve.fp2_beta)
             self.g1 = CurveOps(self.fp)
             self.g2 = CurveOps(self.fp2)
             self._fb = {}
@@ -251,7 +257,7 @@ class _CurveKernels:
         return xs, ys, inf
 
     def g2_points_to_device(self, points):
-        zero = (0, 0)
+        zero = 0 if getattr(self.curve, "g2_over_fp", False) else (0, 0)
         xs = self.fp2.pack([zero if p is None else p[0] for p in points])
         ys = self.fp2.pack([zero if p is None else p[1] for p in points])
         inf = jnp.asarray(np.array([p is None for p in points]))

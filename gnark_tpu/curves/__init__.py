@@ -22,11 +22,14 @@ class CurveSpec:
     fr: FieldSpec
     fp: FieldSpec
     g1_gen: tuple          # (x, y) ints
-    g2_gen: tuple          # ((x0, x1), (y0, y1)) int pairs
-    fp2_beta: int          # u^2 = beta
+    g2_gen: tuple          # ((x0, x1), (y0, y1)) int pairs, or (x, y) ints
+                           # for curves whose G2 lives over fp (BW6 family)
+    fp2_beta: int          # u^2 = beta (unused when g2_over_fp)
     fp6_xi: tuple = (0, 1)  # fp6 = fp2[v]/(v^3 - xi); xi = (c0, c1) in fp2
     x_param: int = 0       # BN/BLS curve parameter (for pairing)
-    family: str = "bls"    # "bn" or "bls"
+    family: str = "bls"    # "bn", "bls" or "bw6"
+    g2_over_fp: bool = False  # BW6: sextic twist defined over fp itself
+    sextic_xi: int = 0     # BW6: fp6 = fp[w]/(w^6 - xi), twist b2 = b*xi
 
     @functools.cached_property
     def host_g1(self) -> HostCurve:
@@ -36,7 +39,10 @@ class CurveSpec:
 
     @functools.cached_property
     def host_g2(self) -> HostCurve:
-        F = HostFp2(self.fp.modulus, self.fp2_beta)
+        if self.g2_over_fp:
+            F = HostFp(self.fp.modulus)
+        else:
+            F = HostFp2(self.fp.modulus, self.fp2_beta)
         x, y = self.g2_gen
         b2 = F.sub(F.sqr(y), F.mul(F.sqr(x), x))
         return HostCurve(F, b2)
@@ -113,19 +119,32 @@ BLS12_377 = CurveSpec(
     family="bls",
 )
 
-ALL_CURVES = {c.name: c for c in (BN254, BLS12_381, BLS12_377)}
+# BW6-761 (EHG19 "one layer proof composition" curve): fr IS BLS12-377's
+# base field (the 2-chain property), fp is 761-bit; embedding degree 6,
+# so G2 is a sextic twist defined over fp itself: E: y^2 = x^3 - 1,
+# E': y^2 = x^3 + 4 = b*xi with xi = -4 (M-twist).  All parameters below
+# were DERIVED in-repo from the BLS12-377 seed x = 0x8508c00000000001 via
+# the EHG19 polynomials and verified (p prime, CM equation t^2-4p=-3y^2
+# at ht=13, r | #E, r | #E'); generators are the smallest-x r-torsion
+# points after cofactor clearing (self-derived — gnark-crypto G2
+# generator choice may differ; serialization interop is G1/proof-level).
+BW6_761 = CurveSpec(
+    name="bw6_761",
+    fr=fields.BLS12_377_FP,
+    fp=fields.BW6_761_FP,
+    g1_gen=(
+        5121082781502305659180673370797932802982723165543122975335209418297923345190975559367024470794567213188867624617939698818627134048004915564891369096213721202693630090148097888923493708182442885908076346607300083583163982163789167,
+        3936891438836912583780051937508657570812555345221986954460153541952284123191322673907692687918062549220672207508016306900511821136915723707181225276750353973961376292016478674329987421847947883311993206004548631860683957877121757,
+    ),
+    g2_gen=(
+        4299495046121976197967899669570453663523609133273326781652351086315825538613647196868186765217397067654540962955975840176693419657193486845273767814170238104346390446211356851381676719718477415944688400098442139983341339355564981,
+        1501381476693777451227230978217091430842826962602338045255398371507653537308020955271876978181145096359995695412993165489860312554088896023045541532421545031682170897196224462174980340752795733839523441093477612926958591841733782,
+    ),
+    fp2_beta=0,
+    x_param=9586122913090633729,
+    family="bw6",
+    g2_over_fp=True,
+    sextic_xi=-4,
+)
 
-
-@dataclasses.dataclass(frozen=True)
-class OuterCurveSpec:
-    """Frontend-only curve descriptor for 2-chain outer curves: circuits
-    over its scalar field can express the inner curve's base-field math
-    natively (recursion, std/groth16_bls12377).  Full proving backends
-    for BW6 curves (761-bit fp, embedding degree 6 pairing) are a
-    separate work item."""
-    name: str
-    fr: FieldSpec
-
-
-# BW6-761's scalar field IS BLS12-377's base field (the 2-chain property)
-BW6_761 = OuterCurveSpec(name="bw6_761", fr=fields.BLS12_377_FP)
+ALL_CURVES = {c.name: c for c in (BN254, BLS12_381, BLS12_377, BW6_761)}

@@ -312,5 +312,8 @@ class Pairing:
 
 
 @functools.lru_cache(maxsize=None)
-def pairing_for(curve) -> Pairing:
+def pairing_for(curve):
+    if getattr(curve, "family", "") == "bw6":
+        from gnark_tpu.curves.pairing_bw6 import PairingBW6
+        return PairingBW6(curve)
     return Pairing(curve)

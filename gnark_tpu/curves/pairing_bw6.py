@@ -1,0 +1,243 @@
+"""Host pairing for the BW6 family (embedding degree 6).
+
+Verifier-side only (SURVEY §2.9: pairings run on host; the prover's hot
+loops are MSM/NTT device kernels).  Reference counterpart: gnark-crypto
+ecc/bw6-761/pairing.go (optimal ate).  This implementation uses the
+TATE pairing — e(P, Q) = f_{r,P}(psi(Q))^((p^6-1)/r) — which needs no
+Frobenius bookkeeping in the Miller loop and is unconditionally correct
+for r-torsion inputs; the loop runs over the 377-bit r, all line
+arithmetic in Fp (P and its multiples live on E(Fp)), evaluated at the
+untwisted psi(Q) in Fp6 = Fp[w]/(w^6 - xi).
+
+M-twist (b' = b*xi): psi(x', y') = (x'/w^2, y'/w^3) = (x'*w^4/xi,
+y'*w^3/xi) since w^6 = xi.
+
+GT inverse-by-conjugation: after the final exponentiation elements are
+unitary, so g^{p^3} = g^{-1}; the p^3-Frobenius on Fp[w]/(w^6-xi) maps
+w^i coefficients to gamma^i multiples with gamma = xi^((p^3-1)/6) in Fp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+
+class Fp6Poly:
+    """Fp[w]/(w^6 - xi): elements are 6-tuples of ints, index = w power."""
+
+    def __init__(self, p: int, xi: int):
+        self.p = p
+        self.xi = xi % p
+        # p^3-Frobenius constants: w^(p^3) = gamma * w
+        self.gamma = pow(self.xi, (p ** 3 - 1) // 6, p)
+
+    def one(self):
+        return (1, 0, 0, 0, 0, 0)
+
+    def from_int(self, v):
+        return (v % self.p, 0, 0, 0, 0, 0)
+
+    def add(self, a, b):
+        p = self.p
+        return tuple((x + y) % p for x, y in zip(a, b))
+
+    def neg(self, a):
+        p = self.p
+        return tuple((-x) % p for x in a)
+
+    def mul(self, a, b):
+        p, xi = self.p, self.xi
+        t = [0] * 11
+        for i, ai in enumerate(a):
+            if ai:
+                for j, bj in enumerate(b):
+                    if bj:
+                        t[i + j] += ai * bj
+        out = list(t[:6])
+        for k in range(6, 11):
+            out[k - 6] += t[k] * xi
+        return tuple(v % p for v in out)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def conj(self, a):
+        """p^3-Frobenius = inverse on unitary (post-final-exp) elements."""
+        p, g = self.p, self.gamma
+        out, gi = [], 1
+        for i in range(6):
+            out.append(a[i] * gi % p)
+            gi = gi * g % p
+        return tuple(out)
+
+    def pow(self, a, e: int):
+        result = self.one()
+        base = a
+        while e:
+            if e & 1:
+                result = self.mul(result, base)
+            base = self.sqr(base)
+            e >>= 1
+        return result
+
+    def inv(self, a):
+        """Generic inverse via the norm to Fp: a^{-1} = adj / N(a) with
+        adj = prod of conjugates; implemented as pow(a, s) * invN where
+        s = (p^6-1)/(p-1) - 1 would be huge — instead use the extended
+        Euclid on polynomials (small, host-only)."""
+        p, xi = self.p, self.xi
+        # polynomial xgcd of a(w) and w^6 - xi over Fp
+        A = list(a)
+        B = [(-xi) % p, 0, 0, 0, 0, 0, 1]
+        # invariants: u*a = A (mod modpoly), v*a = B (mod modpoly)
+        u = [1, 0, 0, 0, 0, 0, 0]
+        v = [0] * 7
+        A = A + [0]
+
+        def deg(f):
+            for i in range(len(f) - 1, -1, -1):
+                if f[i] % p:
+                    return i
+            return -1
+
+        while True:
+            da, db = deg(A), deg(B)
+            if da < 0:
+                A, B, u, v = B, A, v, u
+                da, db = deg(A), deg(B)
+            if da == 0:
+                break
+            if da < db:
+                A, B, u, v = B, A, v, u
+                da, db = db, da
+            lead = A[da] * pow(B[db], -1, p) % p
+            shift = da - db
+            for i in range(db + 1):
+                A[i + shift] = (A[i + shift] - lead * B[i]) % p
+            for i in range(7 - shift):
+                u[i + shift] = (u[i + shift] - lead * v[i]) % p
+        c_inv = pow(A[0], -1, p)
+        return tuple(x * c_inv % p for x in u[:6])
+
+    def eq(self, a, b):
+        return all((x - y) % self.p == 0 for x, y in zip(a, b))
+
+
+class PairingBW6:
+    """Tate pairing for a BW6-family CurveSpec (g2_over_fp, sextic_xi)."""
+
+    def __init__(self, curve):
+        self.curve = curve
+        self.p = curve.fp.modulus
+        self.r = curve.fr.modulus
+        self.gt = Fp6Poly(self.p, curve.sextic_xi)
+        # interface compat with curves/pairing.py (groth16.verify calls
+        # pr.fp12.conj): the GT field object under the same attribute
+        self.fp12 = self.gt
+        p, xi = self.p, self.gt.xi
+        self.xi_inv = pow(xi, -1, p)
+
+    def _untwist(self, Q):
+        """E'(Fp) -> E(Fp6): (x, y) -> (x*w^4/xi, y*w^3/xi)."""
+        p = self.p
+        x, y = Q
+        xq = [0] * 6
+        yq = [0] * 6
+        xq[4] = x * self.xi_inv % p
+        yq[3] = y * self.xi_inv % p
+        return tuple(xq), tuple(yq)
+
+    def miller_loop(self, pairs) -> tuple:
+        """prod_i f_{r, P_i}(psi(Q_i)) — shared-loop multi-pair Miller.
+
+        P_i in G1 (E(Fp)), Q_i in G2 (E'(Fp)); None entries are skipped
+        (pairing with infinity contributes the identity).
+        """
+        gt, p, r = self.gt, self.p, self.r
+        live = [(P, self._untwist(Q)) for P, Q in pairs
+                if P is not None and Q is not None]
+        f = gt.one()
+        if not live:
+            return f
+        # working points in affine with batched inversions per step
+        Ts = [P for P, _ in live]
+        bits = bin(r)[3:]          # MSB already consumed by T = P
+        for b in bits:
+            f = gt.sqr(f)
+            # doubling step for every pair: lambda = 3x^2 / 2y
+            invs = self._batch_inv([2 * T[1] % p for T in Ts])
+            new_Ts = []
+            for k, (T, (Pb, QQ)) in enumerate(zip(Ts, live)):
+                xT, yT = T
+                lam = 3 * xT * xT % p * invs[k] % p
+                x3 = (lam * lam - 2 * xT) % p
+                y3 = (lam * (xT - x3) - yT) % p
+                f = gt.mul(f, self._line_eval(lam, xT, yT, QQ))
+                new_Ts.append((x3, y3))
+            Ts = new_Ts
+            if b == "1":
+                invs = self._batch_inv(
+                    [(T[0] - P[0]) % p for T, (P, _) in zip(Ts, live)])
+                new_Ts = []
+                for k, (T, (Pb, QQ)) in enumerate(zip(Ts, live)):
+                    xT, yT = T
+                    xP, yP = Pb
+                    if (xT - xP) % p == 0:
+                        # T == -P: the r-th (final) addition.  Its line
+                        # is the vertical x - xP; evaluated at psi(Q) it
+                        # lies in Fp3 (x-coord has only even w powers),
+                        # which the final exponentiation kills — skip it.
+                        # T becomes infinity; no further steps follow.
+                        new_Ts.append((xT, yT))
+                        continue
+                    lam = (yT - yP) * invs[k] % p
+                    x3 = (lam * lam - xT - xP) % p
+                    y3 = (lam * (xT - x3) - yT) % p
+                    f = gt.mul(f, self._line_eval(lam, xT, yT, QQ))
+                    new_Ts.append((x3, y3))
+                Ts = new_Ts
+        # note: after the loop T = [r]P = infinity; the final vertical
+        # line evaluates into a subfield and is killed by the final
+        # exponentiation, so it is omitted (standard Tate optimization)
+        return f
+
+    def _line_eval(self, lam, xT, yT, QQ):
+        """l(x, y) = (y - yT) - lam*(x - xT) at psi(Q): sparse Fp6."""
+        p = self.p
+        xq, yq = QQ
+        c0 = (lam * xT - yT) % p
+        out = [0] * 6
+        out[0] = c0
+        out[3] = yq[3]
+        out[4] = (-lam * xq[4]) % p
+        return tuple(out)
+
+    def _batch_inv(self, vals):
+        p = self.p
+        n = len(vals)
+        prefix = [1] * (n + 1)
+        for i, v in enumerate(vals):
+            prefix[i + 1] = prefix[i] * (v if v % p else 1) % p
+        inv = pow(prefix[n], -1, p)
+        out = [0] * n
+        for i in range(n - 1, -1, -1):
+            v = vals[i] % p
+            if v:
+                out[i] = prefix[i] * inv % p
+                inv = inv * v % p
+        return out
+
+    @functools.cached_property
+    def _final_e(self):
+        return (self.p ** 6 - 1) // self.r
+
+    def final_exp(self, f) -> tuple:
+        return self.gt.pow(f, self._final_e)
+
+    def pair(self, P, Q) -> tuple:
+        return self.final_exp(self.miller_loop([(P, Q)]))
+
+    def pairing_check(self, pairs) -> bool:
+        """prod e(P_i, Q_i) == 1."""
+        return self.gt.eq(self.final_exp(self.miller_loop(pairs)),
+                          self.gt.one())

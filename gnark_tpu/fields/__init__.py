@@ -42,9 +42,20 @@ BLS12_377_FP = FieldSpec(
     multiplicative_generator=15,
 )
 
+# --- BW6-761 (2-chain outer curve over BLS12-377; EHG19) -------------------
+# fr(BW6-761) IS fp(BLS12-377): circuits over it express BLS12-377 base
+# field math natively (one-layer recursion).  761-bit fp derived from the
+# BLS12-377 seed x via the EHG19 polynomial (verified prime + CM eq here).
+BW6_761_FP = FieldSpec(
+    name="bw6_761_fp",
+    modulus=6891450384315732539396789682275657542479668912536150109513790160209623422243491736087683183289411687640864567753786613451161759120554247759349511699125301598951605099378508850372543631423596795951899700429969112842764913119068299,
+    multiplicative_generator=2,
+)
+
 ALL_FIELDS = {
     f.name: f
-    for f in (BN254_FR, BN254_FP, BLS12_381_FR, BLS12_381_FP, BLS12_377_FR, BLS12_377_FP)
+    for f in (BN254_FR, BN254_FP, BLS12_381_FR, BLS12_381_FP, BLS12_377_FR,
+              BLS12_377_FP, BW6_761_FP)
 }
 
 __all__ = [
@@ -52,4 +63,5 @@ __all__ = [
     "BN254_FR", "BN254_FP",
     "BLS12_381_FR", "BLS12_381_FP",
     "BLS12_377_FR", "BLS12_377_FP",
+    "BW6_761_FP",
 ]

@@ -19,13 +19,19 @@ cc, R, C, nwin, L = plan.c, plan.R, plan.C, plan.nwin, BN254.fp.L
 print(f"plan c={cc} nwin={nwin} R={R} C={C}", flush=True)
 rng = np.random.default_rng(0)
 
+def fetch_tiny(out):
+    # device->host fetch of ONE element per output: forces completion
+    # over the remote tunnel without shipping the full buffers back
+    for a in jax.tree_util.tree_leaves(out):
+        np.asarray(a[tuple([slice(0, 1)] * a.ndim)])
+
 def timeit(label, fn, *args, iters=3):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+    fetch_tiny(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+        fetch_tiny(out)
     print(f"{label}: {(time.perf_counter()-t0)/iters*1e3:.1f} ms", flush=True)
 
 if which == "leaf":
