@@ -195,3 +195,116 @@ def solve_native(cs, witness_values, *, check: bool = True):
     L16 = F.L
     return (_to_planes(values, L16), _to_planes(av, L16),
             _to_planes(bv, L16), _to_planes(cv, L16))
+
+
+class _ScsSolveState(_SolveState):
+    """SCS hint callback: hint-input LC terms are (wire, coeff-VALUE)
+    with wire < 0 meaning a constant (scs_builder AffineTerm encoding)."""
+
+    def run_hint(self, hidx: int) -> int:
+        try:
+            cs, q = self.cs, self.q
+            h = cs.hints[hidx]
+            ins = []
+            for lc in h.inputs:
+                acc = 0
+                for iw, cv in lc:
+                    if iw < 0:
+                        acc += cv
+                        continue
+                    if not self.solved[iw]:
+                        dep = cs.wire_to_hint.get(iw)
+                        if dep is None:
+                            return 1
+                        rc = self.run_hint(dep)
+                        if rc:
+                            return rc
+                    acc += cv * self.read_wire(iw)
+                ins.append(acc % q)
+            fn = hint_registry.get(h.uuid)
+            outs = fn(q, ins, len(h.out_wires))
+            if len(outs) != len(h.out_wires):
+                raise ValueError("hint output arity mismatch")
+            for ow, ov in zip(h.out_wires, outs):
+                self.write_wire(ow, int(ov))
+            return 0
+        except Exception as e:
+            self.error = e
+            return 1
+
+
+def solve_scs_native(cs, witness_values, *, check: bool = True):
+    """-> (values, l, r, o) uint64 16-bit limb planes, or None."""
+    from gnark_tpu.native import solver_lib
+    lib = solver_lib()
+    if lib is None:
+        return None
+
+    q = cs.field_modulus
+    N = _nlimbs64(q)
+    F = np_field(spec_for_modulus(q))
+    nb_in = cs.nb_public + cs.nb_secret
+    if len(witness_values) != nb_in:
+        raise ValueError(
+            f"witness has {len(witness_values)} values, want {nb_in}")
+
+    R = pow(2, 64 * N, q)
+    mod64 = _pack64([q], N)
+    r2_64 = _pack64([R * R % q], N)
+    one64 = _pack64([R % q], N)
+    coeffs_mont = _pack64([c % q * R % q for c in cs.coeffs], N)
+    coeffs_reg = _pack64([c % q for c in cs.coeffs], N)
+    coeffs_neg_inv = _pack64(
+        [(pow(-c, -1, q) * R % q) if c % q else 0 for c in cs.coeffs], N)
+
+    values = np.zeros((cs.nb_wires, N), np.uint64)
+    solved = np.zeros(cs.nb_wires, np.uint8)
+    if witness_values:
+        values[:nb_in] = _pack64([v % q for v in witness_values], N)
+        solved[:nb_in] = 1
+
+    w2h = np.full(cs.nb_wires, -1, np.int64)
+    for w, h in cs.wire_to_hint.items():
+        w2h[w] = h
+
+    m = cs.nb_constraints
+    lv = np.zeros((m, N), np.uint64)
+    rv = np.zeros((m, N), np.uint64)
+    ov = np.zeros((m, N), np.uint64)
+
+    state = _ScsSolveState(cs, values, solved, N, q)
+
+    @_HINT_CB
+    def cb(_ctx, hidx):
+        return state.run_hint(int(hidx))
+
+    def ptr64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    keep = [np.ascontiguousarray(np.asarray(x), np.int64)
+            for x in (cs.wires_l, cs.wires_r, cs.wires_o,
+                      cs.q_l, cs.q_r, cs.q_m, cs.q_o, cs.q_c)]
+    iptrs = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for a in keep]
+
+    rc = lib.gnark_solve_scs(
+        ctypes.c_int(N), ptr64(mod64), ptr64(r2_64), ptr64(one64),
+        ctypes.c_int64(m), ctypes.c_int64(cs.nb_wires),
+        ctypes.c_int64(len(cs.coeffs)),
+        *iptrs,
+        ptr64(coeffs_mont), ptr64(coeffs_reg), ptr64(coeffs_neg_inv),
+        ptr64(values), solved.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w2h.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ptr64(lv), ptr64(rv), ptr64(ov),
+        cb, None, ctypes.c_int(1 if check else 0))
+
+    if rc == -3 and state.error is not None:
+        raise state.error
+    if rc != -1:
+        from gnark_tpu.backend import scs_solver
+        scs_solver.solve(cs, witness_values, check=check, native=False)
+        raise RuntimeError(
+            f"native SCS solver failed (rc={rc}) but scalar succeeded")
+
+    L16 = F.L
+    return (_to_planes(values, L16), _to_planes(lv, L16),
+            _to_planes(rv, L16), _to_planes(ov, L16))

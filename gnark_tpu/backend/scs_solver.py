@@ -15,16 +15,62 @@ from gnark_tpu.backend.solver import UnsatisfiedConstraintError
 from gnark_tpu.utils.logging import logger
 
 
-@dataclasses.dataclass
 class SCSSolution:
-    values: list     # full wire vector
-    l: list          # per-gate left wire value
-    r: list
-    o: list
+    """Solved PLONK witness; int lists or lazy views over limb planes
+    (the native path) — mirrors solver.Solution."""
+
+    def __init__(self, values=None, l=None, r=None, o=None,
+                 limbs=None, field=None):
+        self._ints = {"values": values, "l": l, "r": r, "o": o}
+        self.limbs = limbs
+        self._field = field
+
+    def _get(self, name):
+        v = self._ints[name]
+        if v is None:
+            v = self._field.unpack(self.limbs[name])
+            self._ints[name] = v
+        return v
+
+    @property
+    def values(self):
+        return self._get("values")
+
+    @property
+    def l(self):
+        return self._get("l")
+
+    @property
+    def r(self):
+        return self._get("r")
+
+    @property
+    def o(self):
+        return self._get("o")
 
 
-def solve(cs, witness_values, *, check: bool = True) -> SCSSolution:
-    """witness_values: [public | secret] ints (no constant-one wire)."""
+def solve(cs, witness_values, *, check: bool = True,
+          native: bool | None = None) -> SCSSolution:
+    """witness_values: [public | secret] ints (no constant-one wire).
+
+    native: None (auto) routes through the C gate-walk core for large
+    systems; False forces this python walk (the semantics reference)."""
+    if native is None:
+        native = cs.nb_constraints >= 2048
+    if native:
+        from gnark_tpu.backend import native_solver, np_solver
+        out = native_solver.solve_scs_native(
+            cs, witness_values, check=check)
+        if out is not None:
+            values, lv, rv, ov = out
+            F = np_solver.np_field(
+                np_solver.spec_for_modulus(cs.field_modulus))
+            sol = SCSSolution(
+                limbs={"values": values, "l": lv, "r": rv, "o": ov},
+                field=F)
+            if cs.logs:
+                _print_logs(cs, sol.values, cs.field_modulus)
+            return sol
     q = cs.field_modulus
     nb_in = cs.nb_public + cs.nb_secret
     if len(witness_values) != nb_in:

@@ -510,10 +510,65 @@ class SCSBuilder:
 
     # ---- compile ------------------------------------------------------------------------------
 
+    def _build_levels(self):
+        """Dependency levelization (buildLevels, reference
+        frontend/cs/scs/builder.go:356): mirrors r1cs_builder's version
+        for the 3-slot gate layout."""
+        nb_inputs = self._nb_public + len(self.secret_names)
+        level_of = {}
+
+        def wire_level(w):
+            if w < nb_inputs:
+                return -1
+            if w in level_of:
+                return level_of[w]
+            hidx = self.wire_to_hint.get(w)
+            if hidx is None:
+                return None
+            h = self.hints[hidx]
+            lv = -1
+            for lc in h.inputs:
+                for iw, _ in lc:
+                    if iw < 0:
+                        continue
+                    ilv = wire_level(iw)
+                    if ilv is None:
+                        raise CompileError("hint depends on unsolved wire")
+                    lv = max(lv, ilv)
+            lv += 1
+            for ow in h.out_wires:
+                level_of[ow] = lv
+            return lv
+
+        levels = []
+        for ci in range(len(self.gl)):
+            unknown = None
+            lv = -1
+            for w in (self.gl[ci], self.gr[ci], self.go[ci]):
+                if w < 0:
+                    continue
+                wl = wire_level(w)
+                if wl is None:
+                    if unknown is None or unknown == w:
+                        unknown = w
+                    else:
+                        raise CompileError(
+                            f"gate {ci} has two unsolved wires")
+                else:
+                    lv = max(lv, wl)
+            lv += 1
+            if unknown is not None:
+                level_of[unknown] = lv
+            while len(levels) <= lv:
+                levels.append([])
+            levels[lv].append(ci)
+        return levels
+
     def compile_system(self) -> scs_ir.SCS:
         self._seal()
         self._check_variables()
         table = CoeffTable(self.q)
+        levels = self._build_levels()
         return scs_ir.SCS(
             curve_name=self.curve.name,
             field_modulus=self.q,
@@ -536,6 +591,7 @@ class SCSBuilder:
             logs=self.logs,
             debug_info=self.debug_info,
             counters=self.counters,
+            levels=levels,
         )
 
     def _check_variables(self):

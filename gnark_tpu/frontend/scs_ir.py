@@ -45,6 +45,11 @@ class SCS:
     logs: list
     debug_info: dict
     counters: list = dataclasses.field(default_factory=list)
+    # dependency levelization (buildLevels analog, reference
+    # frontend/cs/scs/builder.go:356): levels[i] = gate indices whose
+    # unknown slots depend only on wires solved in levels < i — the
+    # schedule a vectorized/parallel PLONK solve consumes
+    levels: list = dataclasses.field(default_factory=list)
 
     @property
     def nb_constraints(self) -> int:

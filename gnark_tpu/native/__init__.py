@@ -47,6 +47,9 @@ def solver_lib():
     if path is None:
         return None
     lib = ctypes.CDLL(path)
-    lib.gnark_solve_r1cs.restype = ctypes.c_int64
+    for fn in ("gnark_solve_r1cs", "gnark_solve_scs", "gnark_qap_accumulate",
+               "gnark_lincomb3", "gnark_powers", "gnark_vecmul",
+               "gnark_batch_inv"):
+        getattr(lib, fn).restype = ctypes.c_int64
     _solver_lib = lib
     return lib

@@ -287,6 +287,141 @@ int64_t solve_loop(const Field<N>& F, const SolveArgs& A) {
     return -1;   // success
 }
 
+struct ScsArgs {
+    int64_t m, nwires, ncoeff;
+    const int64_t *wl, *wr, *wo;          // slot wires, -1 = none
+    const int64_t *ql, *qr, *qm, *qo, *qc;  // per-gate coeff ids
+    const u64* coeffs_mont;               // [ncoeff][N]
+    const u64* coeffs_reg;                // [ncoeff][N] regular form
+    const u64* coeffs_neg_inv;            // [ncoeff][N] (-c)^{-1}, mont
+    u64* values;
+    uint8_t* solved;
+    const int64_t* wire_to_hint;
+    u64* lv; u64* rv; u64* ov;
+    hint_cb_t hint_cb;
+    void* cb_ctx;
+    int check;
+};
+
+// PLONK gate walk: qL*l + qR*r + qM*l*r + qO*o + qC = 0 per gate, at
+// most one unsolved non-hint slot (r1cs_sparse.go:305-361 semantics).
+template <int N>
+int64_t solve_scs_loop(const Field<N>& F, const ScsArgs& A) {
+    u64 l[N], r[N], o[N], t1[N], t2[N], num[N], den[N], inv[N];
+    u64 zero[N];
+    std::memset(zero, 0, sizeof(zero));
+    for (int64_t ci = 0; ci < A.m; ci++) {
+        const int64_t slots[3] = {A.wl[ci], A.wr[ci], A.wo[ci]};
+        int unknown = -1;
+        for (int si = 0; si < 3; si++) {
+            const int64_t w = slots[si];
+            if (w >= 0 && !A.solved[w]) {
+                const int64_t h = A.wire_to_hint[w];
+                if (h >= 0) {
+                    if (A.hint_cb(A.cb_ctx, h) != 0) return -3;
+                    if (!A.solved[w]) return -3;
+                } else if (unknown >= 0) {
+                    return -5;
+                } else {
+                    unknown = si;
+                }
+            }
+        }
+        auto val = [&](int si, u64* out) {
+            const int64_t w = slots[si];
+            if (w >= 0 && A.solved[w])
+                std::memcpy(out, A.values + w * N, sizeof(u64) * N);
+            else
+                std::memset(out, 0, sizeof(u64) * N);
+        };
+        val(0, l); val(1, r); val(2, o);
+        const u64* qlm = A.coeffs_mont + A.ql[ci] * N;
+        const u64* qrm = A.coeffs_mont + A.qr[ci] * N;
+        const u64* qmm = A.coeffs_mont + A.qm[ci] * N;
+        const u64* qom = A.coeffs_mont + A.qo[ci] * N;
+        const u64* qcr = A.coeffs_reg + A.qc[ci] * N;
+
+        auto gate_residual = [&](u64* out) {
+            // ql*l + qr*r + qm*l*r + qo*o + qc (regular form)
+            F.mmul(qlm, l, t1);
+            F.mmul(qrm, r, t2);
+            F.add(t1, t2, out);
+            F.mmul(qmm, l, t1);
+            F.mulmod(t1, r, t1);
+            F.add(out, t1, out);
+            F.mmul(qom, o, t1);
+            F.add(out, t1, out);
+            F.add(out, qcr, out);
+        };
+
+        if (unknown < 0) {
+            if (A.check) {
+                gate_residual(t2);
+                if (!Field<N>::is_zero(t2)) return ci;
+            }
+        } else {
+            if (unknown < 2 && slots[0] == slots[1]) return -6;  // quadratic
+            if (unknown == 2) {
+                // den = -qo is a table constant: its inverse is
+                // precomputed (no per-gate Fermat inversion)
+                F.mmul(qlm, l, t1);
+                F.mmul(qrm, r, t2);
+                F.add(t1, t2, num);
+                F.mmul(qmm, l, t1);
+                F.mulmod(t1, r, t1);
+                F.add(num, t1, num);
+                F.add(num, qcr, num);
+                const u64* ninv = A.coeffs_neg_inv + A.qo[ci] * N;
+                const int64_t w = slots[2];
+                if (Field<N>::is_zero(ninv)) {          // qo == 0
+                    if (A.check && !Field<N>::is_zero(num)) return ci;
+                    std::memset(A.values + w * N, 0, sizeof(u64) * N);
+                } else {
+                    F.mmul(ninv, num, A.values + w * N);
+                }
+                A.solved[w] = 1;
+                val(0, l); val(1, r); val(2, o);
+                std::memcpy(A.lv + ci * N, l, sizeof(u64) * N);
+                std::memcpy(A.rv + ci * N, r, sizeof(u64) * N);
+                std::memcpy(A.ov + ci * N, o, sizeof(u64) * N);
+                continue;
+            } else if (unknown == 1) {
+                F.from_mont(qrm, t1);
+                F.mmul(qmm, l, t2);
+                F.add(t1, t2, den);                     // qr + qm*l
+                F.mmul(qlm, l, t1);
+                F.mmul(qom, o, t2);
+                F.add(t1, t2, num);
+                F.add(num, qcr, num);
+                F.sub(zero, num, num);                  // -(ql*l+qo*o+qc)
+            } else {
+                F.from_mont(qlm, t1);
+                F.mmul(qmm, r, t2);
+                F.add(t1, t2, den);                     // ql + qm*r
+                F.mmul(qrm, r, t1);
+                F.mmul(qom, o, t2);
+                F.add(t1, t2, num);
+                F.add(num, qcr, num);
+                F.sub(zero, num, num);
+            }
+            const int64_t w = slots[unknown];
+            if (Field<N>::is_zero(den)) {
+                if (A.check && !Field<N>::is_zero(num)) return ci;
+                std::memset(A.values + w * N, 0, sizeof(u64) * N);
+            } else {
+                F.invmod(den, inv);
+                F.mulmod(num, inv, A.values + w * N);
+            }
+            A.solved[w] = 1;
+            val(0, l); val(1, r); val(2, o);
+        }
+        std::memcpy(A.lv + ci * N, l, sizeof(u64) * N);
+        std::memcpy(A.rv + ci * N, r, sizeof(u64) * N);
+        std::memcpy(A.ov + ci * N, o, sizeof(u64) * N);
+    }
+    return -1;
+}
+
 template <int N>
 void qap_accumulate(const Field<N>& F, int64_t m,
                     const int64_t* indptr, const int64_t* wires,
@@ -394,6 +529,38 @@ int64_t gnark_solve_r1cs(
     switch (nlimbs) {
 #define CASE(NN) case NN: { Field<NN> F; F.init(modulus, r2, one_mont); \
                             return solve_loop<NN>(F, A); }
+        CASE(1) CASE(2) CASE(3) CASE(4) CASE(5) CASE(6) CASE(8) CASE(12)
+#undef CASE
+        default: return -4;
+    }
+}
+
+// PLONK sparse system walk; same return codes as gnark_solve_r1cs,
+// plus -6 = gate quadratic in its unknown wire
+int64_t gnark_solve_scs(
+    int nlimbs,
+    const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t m, int64_t nwires, int64_t ncoeff,
+    const int64_t* wl, const int64_t* wr, const int64_t* wo,
+    const int64_t* ql, const int64_t* qr, const int64_t* qm,
+    const int64_t* qo, const int64_t* qc,
+    const u64* coeffs_mont, const u64* coeffs_reg,
+    const u64* coeffs_neg_inv,
+    u64* values, uint8_t* solved, const int64_t* wire_to_hint,
+    u64* lv, u64* rv, u64* ov,
+    hint_cb_t hint_cb, void* cb_ctx, int check) {
+    ScsArgs A;
+    A.m = m; A.nwires = nwires; A.ncoeff = ncoeff;
+    A.wl = wl; A.wr = wr; A.wo = wo;
+    A.ql = ql; A.qr = qr; A.qm = qm; A.qo = qo; A.qc = qc;
+    A.coeffs_mont = coeffs_mont; A.coeffs_reg = coeffs_reg;
+    A.coeffs_neg_inv = coeffs_neg_inv;
+    A.values = values; A.solved = solved; A.wire_to_hint = wire_to_hint;
+    A.lv = lv; A.rv = rv; A.ov = ov;
+    A.hint_cb = hint_cb; A.cb_ctx = cb_ctx; A.check = check;
+    switch (nlimbs) {
+#define CASE(NN) case NN: { Field<NN> F; F.init(modulus, r2, one_mont); \
+                            return solve_scs_loop<NN>(F, A); }
         CASE(1) CASE(2) CASE(3) CASE(4) CASE(5) CASE(6) CASE(8) CASE(12)
 #undef CASE
         default: return -4;
