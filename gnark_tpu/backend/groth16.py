@@ -566,13 +566,24 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True,
     def pad_to(arr, k):
         return jnp.asarray(np.pad(arr, ((0, 0), (0, k - arr.shape[1]))))
 
-    domain = _domain_cache(curve.fr, n)
     with profiling.phase("groth16.compute_h"):
-        h_brev = K.fr.from_mont(
-            _compute_h(domain,
-                       K.fr.to_mont(pad_to(limb_planes("a"), n)),
-                       K.fr.to_mont(pad_to(limb_planes("b"), n)),
-                       K.fr.to_mont(pad_to(limb_planes("c"), n))))
+        am = K.fr.to_mont(pad_to(limb_planes("a"), n))
+        bm = K.fr.to_mont(pad_to(limb_planes("b"), n))
+        cm = K.fr.to_mont(pad_to(limb_planes("c"), n))
+        if mesh is not None and n % mesh.shape[mesh_axis] == 0 \
+                and n // mesh.shape[mesh_axis] >= 4:
+            # mesh-sharded 4-step NTT chain: both all_to_all stages of
+            # every transform ride the mesh (SURVEY §2.8 P6); the
+            # strided output is permuted to the bit-reversed order the
+            # Z key points use (one global gather)
+            from gnark_tpu.parallel.sharded_ntt import ShardedDomain
+            sd = _sharded_domain_cache(curve.fr, n, mesh, mesh_axis)
+            h_strided = sd.compute_h(am, bm, cm)
+            h_brev = K.fr.from_mont(jnp.take(
+                h_strided, jnp.asarray(sd.strided_to_brev_perm()), axis=1))
+        else:
+            domain = _domain_cache(curve.fr, n)
+            h_brev = K.fr.from_mont(_compute_h(domain, am, bm, cm))
         n_pad = pk.n_pad
         h_brev = jnp.pad(h_brev, ((0, 0), (0, n_pad - n)))
 
@@ -629,6 +640,17 @@ def _domain_cache(spec, n):
     if (spec.name, n) not in _domains:
         _domains[(spec.name, n)] = Domain(spec, n)
     return _domains[(spec.name, n)]
+
+
+_sharded_domains = {}
+
+
+def _sharded_domain_cache(spec, n, mesh, axis):
+    from gnark_tpu.parallel.sharded_ntt import ShardedDomain
+    key = (spec.name, n, id(mesh), axis)
+    if key not in _sharded_domains:
+        _sharded_domains[key] = ShardedDomain(spec, n, mesh, axis)
+    return _sharded_domains[key]
 
 
 # ---- verify ---------------------------------------------------------------------

@@ -109,8 +109,13 @@ def commit(srs: SRS, coeffs: list, host: bool = False):
 
 def open_poly(srs: SRS, coeffs: list, z: int, host: bool = False):
     """-> (value p(z), proof [q(tau)]G1) with q = (p - p(z))/(X - z),
-    by Horner/synthetic division (host)."""
+    by Horner/synthetic division (native core when large)."""
     q = srs.curve.fr.modulus
+    from gnark_tpu.backend.native_field import nat_for
+    nat = nat_for(q)
+    if nat.available and len(coeffs) > 256:
+        quot64, value = nat.synth_div(nat.pack(coeffs), z % q)
+        return value, commit(srs, nat.unpack(quot64), host=host)
     acc = 0
     quotient = [0] * max(len(coeffs) - 1, 1)
     for i in range(len(coeffs) - 1, 0, -1):
@@ -122,7 +127,19 @@ def open_poly(srs: SRS, coeffs: list, z: int, host: bool = False):
 
 def fold_polys(polys: list, gamma: int, q: int) -> list:
     """sum gamma^i * p_i as one coefficient list."""
-    out = [0] * max(len(p) for p in polys)
+    from gnark_tpu.backend.native_field import nat_for
+    nat = nat_for(q)
+    L = max(len(p) for p in polys)
+    if nat.available and L > 256:
+        import numpy as np
+        out = np.zeros((L, nat.N), np.uint64)
+        g = 1
+        for p in polys:
+            arr = nat.pack(list(p) + [0] * (L - len(p)))
+            out = nat.vecadd(out, nat.vecmul(arr, g))
+            g = g * gamma % q
+        return nat.unpack(out)
+    out = [0] * L
     g = 1
     for p in polys:
         for j, c in enumerate(p):

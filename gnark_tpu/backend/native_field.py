@@ -135,6 +135,43 @@ class Nat:
         assert rc == 0
         return out
 
+    def vecadd(self, a: np.ndarray, b) -> np.ndarray:
+        out = np.zeros_like(a)
+        if isinstance(b, int):
+            barr, stride = self.pack([b % self.q]), 0
+        else:
+            barr, stride = np.ascontiguousarray(b), 1
+        rc = self.lib.gnark_vecadd(
+            *self._hdr(), ctypes.c_int64(a.shape[0]),
+            self._ptr(np.ascontiguousarray(a)), self._ptr(barr),
+            ctypes.c_int64(stride), self._ptr(out))
+        assert rc == 0
+        return out
+
+    def prefix_mul(self, vals: np.ndarray, exclusive=False) -> np.ndarray:
+        out = np.zeros_like(vals)
+        rc = self.lib.gnark_prefix_mul(
+            *self._hdr(), ctypes.c_int64(vals.shape[0]),
+            self._ptr(np.ascontiguousarray(vals)), self._ptr(out),
+            ctypes.c_int(1 if exclusive else 0))
+        assert rc == 0
+        return out
+
+    def synth_div(self, coeffs: np.ndarray, z: int):
+        """p(X)/(X - z) -> (quotient [n-1, N], value int)."""
+        n = coeffs.shape[0]
+        quotient = np.zeros((max(n - 1, 1), self.N), np.uint64)
+        value = np.zeros((1, self.N), np.uint64)
+        rc = self.lib.gnark_synth_div(
+            *self._hdr(), ctypes.c_int64(n),
+            self._ptr(np.ascontiguousarray(coeffs)), self._ptr(self.pack([z])),
+            self._ptr(quotient), self._ptr(value))
+        assert rc == 0
+        return quotient, self.unpack(value)[0]
+
+    def horner(self, coeffs: np.ndarray, z: int) -> int:
+        return self.synth_div(coeffs, z)[1]
+
     def lincomb3(self, A, B, C, ka: int, kb: int, s: int) -> np.ndarray:
         """(ka*A + kb*B + C) * s elementwise over [n, N] regular arrays."""
         out = np.zeros_like(A)

@@ -264,9 +264,14 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None,
     # sigma slot values: id(s) = k_col * omega^row
     P = _HostPoly(curve.fr, n) if host else _Poly(curve.fr, n)
     omega = curve.fr.root_of_unity(n)
-    omega_pows = [1] * n
-    for i in range(1, n):
-        omega_pows[i] = omega_pows[i - 1] * omega % q
+    from gnark_tpu.backend.native_field import nat_for
+    nat = nat_for(q)
+    if nat.available:
+        omega_pows = nat.unpack(nat.powers(omega, n))
+    else:
+        omega_pows = [1] * n
+        for i in range(1, n):
+            omega_pows[i] = omega_pows[i - 1] * omega % q
     g = curve.fr.multiplicative_generator % q
     k1, k2 = g, g * g % q
     ks = (1, k1, k2)
@@ -295,20 +300,32 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None,
     brev4 = bit_reverse_perm(4 * n)
     coset = curve.fr.multiplicative_generator % q
     w4 = curve.fr.root_of_unity(4 * n)
-    x_nat = [0] * (4 * n)
-    t = coset
-    for i in range(4 * n):
-        x_nat[i] = t
-        t = t * w4 % q
     # Z_H(x) = x^n - 1 on the coset: coset^n * w4^{ni} - 1 (w4^n has order 4)
     w4n = pow(w4, n, q)
     cn = pow(coset, n, q)
-    zh_full = [(cn * pow(w4n, i % 4, q) - 1) % q for i in range(4 * n)]
-    zh_inv = _batch_inv_host(zh_full, q)
     ninv = pow(n, -1, q)
-    # L1(x) = (x^n - 1) / (n (x - 1))
-    l1_den = _batch_inv_host([(x - 1) % q for x in x_nat], q)
-    l1_full = [(zh_full[i] * ninv % q) * l1_den[i] % q for i in range(4 * n)]
+    if nat.available:
+        x64 = nat.powers(w4, 4 * n, start=coset)
+        x_nat = nat.unpack(x64)
+        zh_full = [(cn * pow(w4n, i % 4, q) - 1) % q for i in range(4 * n)]
+        zh64 = nat.pack(zh_full)
+        zh_inv = nat.unpack(nat.batch_inv(zh64))
+        zeros = np.zeros_like(x64)
+        l1_den64 = nat.batch_inv(nat.vecadd(x64, q - 1))
+        # L1(x) = (x^n - 1) / (n (x - 1))
+        l1_full = nat.unpack(nat.vecmul(nat.vecmul(zh64, l1_den64), ninv))
+    else:
+        x_nat = [0] * (4 * n)
+        t = coset
+        for i in range(4 * n):
+            x_nat[i] = t
+            t = t * w4 % q
+        zh_full = [(cn * pow(w4n, i % 4, q) - 1) % q for i in range(4 * n)]
+        zh_inv = _batch_inv_host(zh_full, q)
+        # L1(x) = (x^n - 1) / (n (x - 1))
+        l1_den = _batch_inv_host([(x - 1) % q for x in x_nat], q)
+        l1_full = [(zh_full[i] * ninv % q) * l1_den[i] % q
+                   for i in range(4 * n)]
 
     if host:
         def layout(vals):
@@ -336,26 +353,36 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None,
 # ---- prove -----------------------------------------------------------------------
 
 
-def _point_bytes(p) -> bytes:
+def _point_bytes(p, nbytes: int = 48) -> bytes:
     """Uncompressed big-endian point encoding for transcript binding
     (deriveRandomness analog, verify.go:290-308)."""
     if p is None:
-        return b"\x00" * 96
+        return b"\x00" * (2 * nbytes)
     def enc(c):
         if isinstance(c, tuple):
-            return b"".join(x.to_bytes(48, "big") for x in c)
-        return c.to_bytes(48, "big")
+            return b"".join(x.to_bytes(nbytes, "big") for x in c)
+        return c.to_bytes(nbytes, "big")
     return enc(p[0]) + enc(p[1])
+
+
+def _fp_bytes(curve) -> int:
+    return (curve.fp.modulus.bit_length() + 7) // 8
+
+
+def _fr_bytes(curve) -> int:
+    return (curve.fr.modulus.bit_length() + 7) // 8
 
 
 def _bind_public_data(fs: Transcript, vk: PlonkVK, public_inputs):
     """bindPublicData analog (verify.go:249-288): sigma + selector
     commitments + public inputs bound to the first challenge."""
+    nb = _fp_bytes(vk.curve)
     for c in (vk.c_s1, vk.c_s2, vk.c_s3, vk.c_ql, vk.c_qr, vk.c_qm,
               vk.c_qo, vk.c_qc):
-        fs.bind("gamma", _point_bytes(c))
+        fs.bind("gamma", _point_bytes(c, nb))
+    frb = _fr_bytes(vk.curve)
     for x in public_inputs:
-        fs.bind("gamma", int(x).to_bytes(32, "big"))
+        fs.bind("gamma", int(x).to_bytes(frb, "big"))
 
 
 def prove(cs, pk: PlonkPK, witness_values, rng=None,
@@ -367,6 +394,7 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     P = _HostPoly(curve.fr, n) if host else _Poly(curve.fr, n)
     rnd = _sampler(rng)
 
+    nb_fp, nb_fr = _fp_bytes(curve), _fr_bytes(curve)
     sol = scs_solver.solve(cs, witness_values, check=check)
     public_inputs = [v % q for v in witness_values[:ell]]
 
@@ -394,31 +422,56 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     fs = Transcript(*CHALLENGES)
     _bind_public_data(fs, pk.vk, public_inputs)
     for c in (c_l, c_r, c_o):
-        fs.bind("gamma", _point_bytes(c))
+        fs.bind("gamma", _point_bytes(c, nb_fp))
     gamma = fs.challenge_int("gamma", q)
     beta = fs.challenge_int("beta", q)
 
     # ---- Z permutation accumulator (computeBlindedZCanonical prove.go:566)
     ks = (1, pk.k1, pk.k2)
     sig = pk.sigma_vals
-    num, den = [1] * n, [1] * n
     vals = (lv, rv, ov)
-    for row in range(n):
-        w = pk.omega_pows[row]
+    from gnark_tpu.backend.native_field import nat_for
+    nat = nat_for(q)
+    if nat.available:
+        # numerator/denominator products + running Z on the C core
+        w64 = nat.pack(pk.omega_pows)
+        ones64 = nat.pack([1] * n)
+        num64 = None
+        den64 = None
         for c in range(3):
-            v = vals[c][row]
-            num[row] = num[row] * ((v + beta * ks[c] * w + gamma) % q) % q
-            den[row] = den[row] * ((v + beta * sig[c][row] + gamma) % q) % q
-    den_inv = _batch_inv_host(den, q)
-    z = [1] * n
-    for row in range(n - 1):
-        z[row + 1] = z[row] * num[row] % q * den_inv[row] % q
-    if check:
-        assert z[n - 1] * num[n - 1] % q * den_inv[n - 1] % q == 1, \
-            "permutation argument accumulator must close"
+            v64 = nat.pack(vals[c])
+            s64 = nat.pack(sig[c])
+            # v + (beta*k_c)*w + gamma  /  v + beta*sigma_c + gamma
+            nterm = nat.lincomb3(w64, ones64, v64, beta * ks[c] % q,
+                                 gamma, 1)
+            dterm = nat.lincomb3(s64, ones64, v64, beta, gamma, 1)
+            num64 = nterm if num64 is None else nat.vecmul(num64, nterm)
+            den64 = dterm if den64 is None else nat.vecmul(den64, dterm)
+        ratio = nat.vecmul(num64, nat.batch_inv(den64))
+        z64 = nat.prefix_mul(ratio, exclusive=True)
+        z = nat.unpack(z64)
+        if check:
+            closing = nat.unpack(nat.vecmul(z64[-1:], ratio[-1:]))[0]
+            assert closing == 1, \
+                "permutation argument accumulator must close"
+    else:
+        num, den = [1] * n, [1] * n
+        for row in range(n):
+            w = pk.omega_pows[row]
+            for c in range(3):
+                v = vals[c][row]
+                num[row] = num[row] * ((v + beta * ks[c] * w + gamma) % q) % q
+                den[row] = den[row] * ((v + beta * sig[c][row] + gamma) % q) % q
+        den_inv = _batch_inv_host(den, q)
+        z = [1] * n
+        for row in range(n - 1):
+            z[row + 1] = z[row] * num[row] % q * den_inv[row] % q
+        if check:
+            assert z[n - 1] * num[n - 1] % q * den_inv[n - 1] % q == 1, \
+                "permutation argument accumulator must close"
     z_c = blind(P.interpolate(z), 3)
     c_z = kzg.commit(pk.srs, z_c, host=host)
-    fs.bind("alpha", _point_bytes(c_z))
+    fs.bind("alpha", _point_bytes(c_z, nb_fp))
     alpha = fs.challenge_int("alpha", q)
 
     # ---- quotient on the 4n coset (device, bit-reversed layout)
@@ -428,7 +481,11 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     oE = P.eval_coset4(o_c)
     zE = P.eval_coset4(z_c)
     omega = pk.vk.generator
-    zw_c = [z_c[i] * pow(omega, i, q) % q for i in range(len(z_c))]
+    if nat.available:
+        zw_c = nat.unpack(nat.vecmul(nat.pack(z_c),
+                                     nat.powers(omega, len(z_c))))
+    else:
+        zw_c = [z_c[i] * pow(omega, i, q) % q for i in range(len(z_c))]
     zwE = P.eval_coset4(zw_c)
 
     qlE, qrE, qmE, qoE, qcE = pk.sel_E
@@ -472,15 +529,19 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     c_h2 = kzg.commit(pk.srs, h2, host=host)
     c_h3 = kzg.commit(pk.srs, h3, host=host)
     for c in (c_h1, c_h2, c_h3):
-        fs.bind("zeta", _point_bytes(c))
+        fs.bind("zeta", _point_bytes(c, nb_fp))
     zeta = fs.challenge_int("zeta", q)
 
     # ---- openings + linearization (computeLinearizedPolynomial prove.go:827)
-    def ev(coeffs, x):
-        acc = 0
-        for c in reversed(coeffs):
-            acc = (acc * x + c) % q
-        return acc
+    if nat.available:
+        def ev(coeffs, x):
+            return nat.horner(nat.pack(coeffs), x)
+    else:
+        def ev(coeffs, x):
+            acc = 0
+            for c in reversed(coeffs):
+                acc = (acc * x + c) % q
+            return acc
 
     l_bar = ev(l_c, zeta)
     r_bar = ev(r_c, zeta)
@@ -504,24 +565,30 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
     # so nlen entries suffice; oversizing previously produced an opening
     # quotient one coefficient longer than the SRS (ADVICE r1, high).
     nlen = max(len(z_c), len(pk.s3_c), len(h1), n)
-    r_poly = [0] * nlen
-
-    def axpy(coeffs, k):
-        for i, c in enumerate(coeffs):
-            r_poly[i] = (r_poly[i] + k * c) % q
-
-    axpy(pk.ql_c, l_bar)
-    axpy(pk.qr_c, r_bar)
-    axpy(pk.qm_c, l_bar * r_bar % q)
-    axpy(pk.qo_c, o_bar)
-    axpy(pk.qc_c, 1)
-    axpy(z_c, (alpha * fz + alpha * alpha % q * l1_zeta) % q)
-    axpy(pk.s3_c, (-alpha * zw_bar % q) * gz_part % q * beta % q)
-    r_poly[0] = (r_poly[0] - alpha * zw_bar % q * gz_part % q
-                 * ((o_bar + gamma) % q)) % q
-    axpy(h1, -zh_zeta)
-    axpy(h2, -zh_zeta * zeta_n2 % q)
-    axpy(h3, -zh_zeta * zeta_n2 % q * zeta_n2 % q)
+    r_terms = [
+        (pk.ql_c, l_bar), (pk.qr_c, r_bar), (pk.qm_c, l_bar * r_bar % q),
+        (pk.qo_c, o_bar), (pk.qc_c, 1),
+        (z_c, (alpha * fz + alpha * alpha % q * l1_zeta) % q),
+        (pk.s3_c, (-alpha * zw_bar % q) * gz_part % q * beta % q),
+        (h1, (-zh_zeta) % q),
+        (h2, (-zh_zeta) * zeta_n2 % q),
+        (h3, (-zh_zeta) * zeta_n2 % q * zeta_n2 % q),
+    ]
+    r_const = (- alpha * zw_bar % q * gz_part % q
+               * ((o_bar + gamma) % q)) % q
+    if nat.available:
+        rp = np.zeros((nlen, nat.N), np.uint64)
+        for coeffs, k in r_terms:
+            arr = nat.pack(list(coeffs) + [0] * (nlen - len(coeffs)))
+            rp = nat.vecadd(rp, nat.vecmul(arr, k))
+        rp[0:1] = nat.vecadd(rp[0:1], r_const)
+        r_poly = nat.unpack(rp)
+    else:
+        r_poly = [0] * nlen
+        for coeffs, k in r_terms:
+            for i, c in enumerate(coeffs):
+                r_poly[i] = (r_poly[i] + k * c) % q
+        r_poly[0] = (r_poly[0] + r_const) % q
 
     r_bar_val = ev(r_poly, zeta)
     if check:
@@ -531,7 +598,7 @@ def prove(cs, pk: PlonkPK, witness_values, rng=None,
 
     evals = [r_bar_val, l_bar, r_bar, o_bar, s1_bar, s2_bar]
     for v in evals + [zw_bar]:
-        fs.bind("eta", v.to_bytes(32, "big"))
+        fs.bind("eta", v.to_bytes(nb_fr, "big"))
     eta = fs.challenge_int("eta", q)
     _, w_zeta = kzg.open_poly(
         pk.srs,
@@ -583,16 +650,17 @@ def verify(proof: PlonkProof, vk: PlonkVK, public_inputs) -> bool:
                 or host1.scalar_mul(p, q) is not None):
             return False
 
+    nb_fp, nb_fr = _fp_bytes(curve), _fr_bytes(curve)
     fs = Transcript(*CHALLENGES)
     _bind_public_data(fs, vk, public_inputs)
     for c in (proof.c_l, proof.c_r, proof.c_o):
-        fs.bind("gamma", _point_bytes(c))
+        fs.bind("gamma", _point_bytes(c, nb_fp))
     gamma = fs.challenge_int("gamma", q)
     beta = fs.challenge_int("beta", q)
-    fs.bind("alpha", _point_bytes(proof.c_z))
+    fs.bind("alpha", _point_bytes(proof.c_z, nb_fp))
     alpha = fs.challenge_int("alpha", q)
     for c in (proof.c_h1, proof.c_h2, proof.c_h3):
-        fs.bind("zeta", _point_bytes(c))
+        fs.bind("zeta", _point_bytes(c, nb_fp))
     zeta = fs.challenge_int("zeta", q)
 
     r_bar, l_bar, rr_bar, o_bar, s1_bar, s2_bar = [v % q for v in proof.evals]
@@ -638,7 +706,7 @@ def verify(proof: PlonkProof, vk: PlonkVK, public_inputs) -> bool:
 
     # fold the batch at zeta (FoldProof analog)
     for v in proof.evals + [zw_bar]:
-        fs.bind("eta", int(v).to_bytes(32, "big"))
+        fs.bind("eta", int(v).to_bytes(nb_fr, "big"))
     eta = fs.challenge_int("eta", q)
     batch_cs = [c_r_lin, proof.c_l, proof.c_r, proof.c_o, vk.c_s1, vk.c_s2]
     folded_c, folded_v, e = None, 0, 1
@@ -648,8 +716,8 @@ def verify(proof: PlonkProof, vk: PlonkVK, public_inputs) -> bool:
         folded_v = (folded_v + e * v) % q
         e = e * eta % q
 
-    fs.bind("u", _point_bytes(proof.w_zeta))
-    fs.bind("u", _point_bytes(proof.w_zeta_omega))
+    fs.bind("u", _point_bytes(proof.w_zeta, nb_fp))
+    fs.bind("u", _point_bytes(proof.w_zeta_omega, nb_fp))
     u = fs.challenge_int("u", q)
 
     from gnark_tpu.backend.kzg import SRS, batch_verify_multi_points

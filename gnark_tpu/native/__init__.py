@@ -49,7 +49,8 @@ def solver_lib():
     lib = ctypes.CDLL(path)
     for fn in ("gnark_solve_r1cs", "gnark_solve_scs", "gnark_qap_accumulate",
                "gnark_lincomb3", "gnark_powers", "gnark_vecmul",
-               "gnark_batch_inv"):
+               "gnark_batch_inv", "gnark_solve_scs", "gnark_vecadd",
+               "gnark_prefix_mul", "gnark_synth_div"):
         getattr(lib, fn).restype = ctypes.c_int64
     _solver_lib = lib
     return lib

@@ -469,6 +469,49 @@ void vecmul(const Field<N>& F, int64_t n, const u64* a, const u64* b,
 }
 
 template <int N>
+void vecadd(const Field<N>& F, int64_t n, const u64* a, const u64* b,
+            int64_t stride_b, u64* out) {
+    for (int64_t i = 0; i < n; i++)
+        F.add(a + i * N, b + i * stride_b * N, out + i * N);
+}
+
+template <int N>
+void prefix_mul(const Field<N>& F, int64_t n, const u64* vals, u64* out,
+                int exclusive) {
+    // out[i] = prod_{j<=i} vals[j] (or j<i when exclusive)
+    u64 run[N];
+    std::memset(run, 0, sizeof(run));
+    run[0] = 1;
+    for (int64_t i = 0; i < n; i++) {
+        if (exclusive) {
+            std::memcpy(out + i * N, run, sizeof(run));
+            F.mulmod(run, vals + i * N, run);
+        } else {
+            F.mulmod(run, vals + i * N, run);
+            std::memcpy(out + i * N, run, sizeof(run));
+        }
+    }
+}
+
+template <int N>
+void synth_div(const Field<N>& F, int64_t n, const u64* coeffs,
+               const u64* z, u64* quotient, u64* value) {
+    // p(X) = q(X)(X - z) + p(z): Horner accumulators ARE the quotient
+    // coefficients (kzg.Open quotient, kzg.go dividePolyByXminusA)
+    u64 acc[N];
+    std::memset(acc, 0, sizeof(acc));
+    for (int64_t i = n - 1; i >= 1; i--) {
+        u64 t[N];
+        F.mulmod(acc, z, t);
+        F.add(t, coeffs + i * N, acc);
+        std::memcpy(quotient + (i - 1) * N, acc, sizeof(acc));
+    }
+    u64 t[N];
+    F.mulmod(acc, z, t);
+    F.add(t, coeffs, value);
+}
+
+template <int N>
 void batch_inv(const Field<N>& F, int64_t n, const u64* vals, u64* out) {
     // classic Montgomery trick, all regular form (mulmod = 2 REDC):
     // O(n) muls + ONE Fermat inversion; zeros map to zero
@@ -613,6 +656,27 @@ int64_t gnark_vecmul(
     int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
     int64_t n, const u64* a, const u64* b, int64_t stride_b, u64* out) {
     DISPATCH(vecmul(F, n, a, b, stride_b, out))
+}
+
+// out[i] = a[i] + b[i*stride_b] mod p
+int64_t gnark_vecadd(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* a, const u64* b, int64_t stride_b, u64* out) {
+    DISPATCH(vecadd(F, n, a, b, stride_b, out))
+}
+
+// out[i] = prod_{j<=i} vals[j] (exclusive=1: j<i)
+int64_t gnark_prefix_mul(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* vals, u64* out, int exclusive) {
+    DISPATCH(prefix_mul(F, n, vals, out, exclusive))
+}
+
+// p(X)/(X-z): quotient coefficients [n-1] + value p(z)
+int64_t gnark_synth_div(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* coeffs, const u64* z, u64* quotient, u64* value) {
+    DISPATCH(synth_div(F, n, coeffs, z, quotient, value))
 }
 
 // out[i] = vals[i]^{-1} (regular form, zeros -> zeros)

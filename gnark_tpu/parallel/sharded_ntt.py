@@ -146,6 +146,110 @@ class ShardedDomain:
     def ifft(self, x):
         return self._inv(x)
 
+    # ---- strided-input forward transform (the mirror four-step) -----------
+
+    def _make_kernel_strided(self):
+        """Strided coeffs (device k1 holds c[k1 + A*k2]) -> natural-order
+        evals (device d holds E[d*B .. (d+1)*B)).  The mirror of
+        _make_kernel: local size-B NTT FIRST, then transpose, twiddle +
+        size-A column DFT, transpose back.
+
+          E[d*B + t] = sum_k1 w^(k1*(d*B+t)) * NTT_B(row k1)[t]
+        """
+        F, A, B = self.F, self.A, self.B
+        L = self.spec.L
+        q = self.spec.modulus
+        dom = self.local_domain
+        axis = self.axis
+        brev_B = jnp.asarray(bit_reverse_perm(B).astype(np.int32))
+        # dft_out[d, k1] = (w^B)^(k1*d) — same matrix as _col_dft_mat fwd
+        dft = self._col_dft_mat(inverse=False)      # [L, A, A]
+        # twiddle w^(k1*t), t in [0, B): [A, L, B]
+        tw = self._twiddle_block(inverse=False)
+
+        def kernel(u):  # u: [L, B] strided row k1 = this device
+            # 1) local size-B NTT with root w^A (natural in/out)
+            S = dom.fft(jnp.take(u, brev_B, axis=1), "DIT")   # [L, B]
+            # 2) transpose: device c receives S_k1[t] for its t-chunk
+            Ss = S.reshape(L, A, B // A)
+            Ss = jax.lax.all_to_all(Ss, axis, split_axis=1, concat_axis=1)
+            d = jax.lax.axis_index(axis)
+            # 3) twiddle by w^(k1 * t), t = d*(B/A) + j
+            tw_loc = jax.lax.dynamic_slice_in_dim(
+                tw, d * (B // A), B // A, axis=2)             # [A, L, B/A]
+            Ss = F.mul(Ss, jnp.moveaxis(tw_loc, 0, 1))
+            # column DFT over k1: E_part[dd] = sum_k1 w_A^(k1*dd) Ss[k1]
+            outs = []
+            for dd in range(A):
+                acc = F.mul(Ss[:, 0], dft[:, dd, 0][:, None])
+                for k1 in range(1, A):
+                    acc = F.add(acc, F.mul(Ss[:, k1], dft[:, dd, k1][:, None]))
+                outs.append(acc)
+            Es = jnp.stack(outs, axis=1)                      # [L, A, B/A]
+            # 4) transpose back: device dd collects its t-chunks
+            Es = jax.lax.all_to_all(Es, axis, split_axis=1, concat_axis=1)
+            return Es.reshape(L, B)
+
+        return kernel
+
+    def fft_from_strided(self, x):
+        if not hasattr(self, "_fwd_strided"):
+            self._fwd_strided = jax.jit(shard_map(
+                self._make_kernel_strided(), mesh=self.mesh,
+                in_specs=(P(None, self.axis),), out_specs=P(None, self.axis),
+                check_rep=False))
+        return self._fwd_strided(x)
+
+    # ---- sharded Groth16 quotient (computeH, prove.go:275) -----------------
+
+    def coset_scale_strided(self, inverse=False):
+        """g^j (or g^-j) in STRIDED layout as a device constant [L, n]
+        (Montgomery form), for scaling coefficients that live in the
+        strided order the ifft produces."""
+        q = self.spec.modulus
+        g = self.spec.multiplicative_generator % q
+        if inverse:
+            g = pow(g, -1, q)
+        vals, t = [], 1
+        for _ in range(self.n):
+            vals.append(t)
+            t = t * g % q
+        nat = np.asarray(self.spec.to_limbs(vals))
+        return jnp.asarray(self.interleave(nat))
+
+    def compute_h(self, a, b, c):
+        """Sharded quotient h = (A*B - C)/Z_H on the coset.
+
+        a/b/c: [L, n] Montgomery evals on H, natural order, sharded over
+        the mesh axis.  Returns h coefficients in STRIDED order (the
+        caller permutes to whatever order its Z key points use).  Both
+        all_to_all stages of each four-step transform ride the mesh —
+        SURVEY §2.8 P6.
+        """
+        q = self.spec.modulus
+        F = self.F
+        g = self.spec.multiplicative_generator % q
+        den = pow(pow(g, self.n, q) - 1, -1, q)
+        den_pl = F.pack([den])
+        gs = self.coset_scale_strided()
+        gs_inv = self.coset_scale_strided(inverse=True)
+
+        def coset_evals(x):
+            return self.fft_from_strided(F.mul(self.ifft(x), gs))
+
+        ae, be, ce = coset_evals(a), coset_evals(b), coset_evals(c)
+        he = F.mul(F.sub(F.mul(ae, be), ce), den_pl)
+        return F.mul(self.ifft(he), gs_inv)
+
+    def strided_to_brev_perm(self) -> np.ndarray:
+        """Permutation taking the strided layout to bit-reversed order:
+        out[i] = strided_index_of(brev(i))."""
+        n, A, B = self.n, self.A, self.B
+        brev = bit_reverse_perm(n)
+        # natural index j lives at strided position (j % A) * B + j // A
+        pos = (brev % A) * B + brev // A
+        return pos.astype(np.int32)
+
     # ---- host order conversion helpers ------------------------------------
 
     def deinterleave(self, X_strided: np.ndarray) -> np.ndarray:

@@ -53,3 +53,43 @@ def test_sharded_ifft_roundtrip(mesh):
     back_strided = np.asarray(sd.ifft(jnp.asarray(evals_nat)))
     back = sd.deinterleave(back_strided)
     assert np.array_equal(back, np.asarray(x))
+
+
+def test_fft_from_strided_roundtrip(mesh):
+    """ifft (natural -> strided) then fft_from_strided (strided ->
+    natural) must be the identity — the two halves of the sharded
+    compute_h chain."""
+    n = 64
+    spec = BN254_FR
+    F = field_ops(spec)
+    sd = ShardedDomain(spec, n, mesh, "x")
+    rng = np.random.default_rng(5)
+    vals = [int(v) for v in rng.integers(1, spec.modulus % (1 << 60), n)]
+    x = F.to_mont(jnp.asarray(spec.to_limbs(vals, montgomery=False)))
+    back = sd.fft_from_strided(sd.ifft(x))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_sharded_compute_h_matches_single_chip(mesh):
+    """Full quotient chain h = (A*B - C)/Z_H on the coset (SURVEY §2.8
+    P6 integrated into the prover; reference prove.go:275 computeH)."""
+    from gnark_tpu.backend.groth16 import _compute_h
+
+    n = 64
+    spec = BN254_FR
+    F = field_ops(spec)
+    q = spec.modulus
+    sd = ShardedDomain(spec, n, mesh, "x")
+    dom = Domain(spec, n)
+    rng = np.random.default_rng(7)
+
+    def vec():
+        vals = [int(v) for v in rng.integers(1, q % (1 << 60), n)]
+        return F.to_mont(jnp.asarray(spec.to_limbs(vals, montgomery=False)))
+
+    a, b, c = vec(), vec(), vec()
+    want = np.asarray(_compute_h(dom, a, b, c))
+    h_strided = sd.compute_h(a, b, c)
+    got = np.asarray(jnp.take(
+        h_strided, jnp.asarray(sd.strided_to_brev_perm()), axis=1))
+    np.testing.assert_array_equal(got, want)
