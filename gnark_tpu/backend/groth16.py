@@ -211,6 +211,9 @@ class _CurveKernels:
             # field-ops object — the CurveSpec-generic design paying off)
             if getattr(curve, "g2_over_fp", False):
                 self.fp2 = self.fp
+            elif getattr(curve, "g2_tower_k", 2) == 4:
+                from gnark_tpu.ops.towers import fpk_ops
+                self.fp2 = fpk_ops(curve.fp, 4, curve.g2_tower_c)
             else:
                 self.fp2 = fp2_ops(curve.fp, curve.fp2_beta)
             self.g1 = CurveOps(self.fp)
@@ -257,7 +260,12 @@ class _CurveKernels:
         return xs, ys, inf
 
     def g2_points_to_device(self, points):
-        zero = 0 if getattr(self.curve, "g2_over_fp", False) else (0, 0)
+        if getattr(self.curve, "g2_over_fp", False):
+            zero = 0
+        elif getattr(self.curve, "g2_tower_k", 2) == 4:
+            zero = (0, 0, 0, 0)
+        else:
+            zero = (0, 0)
         xs = self.fp2.pack([zero if p is None else p[0] for p in points])
         ys = self.fp2.pack([zero if p is None else p[1] for p in points])
         inf = jnp.asarray(np.array([p is None for p in points]))
@@ -570,8 +578,9 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True,
         am = K.fr.to_mont(pad_to(limb_planes("a"), n))
         bm = K.fr.to_mont(pad_to(limb_planes("b"), n))
         cm = K.fr.to_mont(pad_to(limb_planes("c"), n))
-        if mesh is not None and n % mesh.shape[mesh_axis] == 0 \
-                and n // mesh.shape[mesh_axis] >= 4:
+        n_dev = 0 if mesh is None else mesh.shape[mesh_axis]
+        if mesh is not None and n % n_dev == 0 \
+                and (n // n_dev) % n_dev == 0:
             # mesh-sharded 4-step NTT chain: both all_to_all stages of
             # every transform ride the mesh (SURVEY §2.8 P6); the
             # strided output is permuted to the bit-reversed order the

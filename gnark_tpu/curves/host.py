@@ -125,3 +125,86 @@ class HostCurve:
         for P, s in zip(points, scalars):
             acc = self.add(acc, self.scalar_mul(P, s))
         return acc
+
+
+class HostFpK:
+    """fp^k = fp[u]/(u^k - c): k-tuples of python ints (binomial
+    extension; used for BLS24's fp4 G2 coordinate field — reference
+    gnark-crypto E4; here one generic quartic/sextic tower node)."""
+
+    def __init__(self, p: int, k: int, c: int):
+        self.p = p
+        self.k = k
+        self.c = c % p
+        self.zero = (0,) * k
+        self.one = (1,) + (0,) * (k - 1)
+
+    def add(self, a, b):
+        p = self.p
+        return tuple((x + y) % p for x, y in zip(a, b))
+
+    def sub(self, a, b):
+        p = self.p
+        return tuple((x - y) % p for x, y in zip(a, b))
+
+    def neg(self, a):
+        p = self.p
+        return tuple((-x) % p for x in a)
+
+    def mul(self, a, b):
+        p, k, c = self.p, self.k, self.c
+        t = [0] * (2 * k - 1)
+        for i, ai in enumerate(a):
+            if ai:
+                for j, bj in enumerate(b):
+                    if bj:
+                        t[i + j] += ai * bj
+        out = list(t[:k])
+        for m in range(k, 2 * k - 1):
+            out[m - k] += t[m] * c
+        return tuple(v % p for v in out)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        """Extended-Euclid on polynomials over fp."""
+        p, k, c = self.p, self.k, self.c
+        A = list(a) + [0]
+        B = [(-c) % p] + [0] * (k - 1) + [1]
+        u = [1] + [0] * k
+        v = [0] * (k + 1)
+
+        def deg(f):
+            for i in range(len(f) - 1, -1, -1):
+                if f[i] % p:
+                    return i
+            return -1
+
+        while True:
+            da, db = deg(A), deg(B)
+            if da < 0:
+                A, B, u, v = B, A, v, u
+                da, db = deg(A), deg(B)
+            if da == 0:
+                break
+            if da < db:
+                A, B, u, v = B, A, v, u
+                da, db = db, da
+            lead = A[da] * pow(B[db], -1, p) % p
+            sh = da - db
+            for i in range(db + 1):
+                A[i + sh] = (A[i + sh] - lead * B[i]) % p
+            for i in range(k + 1 - sh):
+                u[i + sh] = (u[i + sh] - lead * v[i]) % p
+        cinv = pow(A[0], -1, p)
+        return tuple(x * cinv % p for x in u[:k])
+
+    def is_zero(self, a):
+        return all(x % self.p == 0 for x in a)
+
+    def eq(self, a, b):
+        return all((x - y) % self.p == 0 for x, y in zip(a, b))
+
+    def from_int(self, v):
+        return (v % self.p,) + (0,) * (self.k - 1)

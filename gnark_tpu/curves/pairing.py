@@ -313,7 +313,11 @@ class Pairing:
 
 @functools.lru_cache(maxsize=None)
 def pairing_for(curve):
-    if getattr(curve, "family", "") == "bw6":
+    fam = getattr(curve, "family", "")
+    if fam == "bw6":
         from gnark_tpu.curves.pairing_bw6 import PairingBW6
         return PairingBW6(curve)
+    if fam == "bls24":
+        from gnark_tpu.curves.pairing_bw6 import PairingBLS24
+        return PairingBLS24(curve)
     return Pairing(curve)

@@ -23,19 +23,24 @@ import functools
 
 
 class Fp6Poly:
-    """Fp[w]/(w^6 - xi): elements are 6-tuples of ints, index = w power."""
+    """Fp[w]/(w^k - xi): elements are k-tuples of ints, index = w power.
 
-    def __init__(self, p: int, xi: int):
+    k = 6 for the BW6 family; k = 24 for BLS24 (fp24 = fp[w]/(w^24 - c)
+    with the G2 coordinate field fp4 embedded as fp[w^6])."""
+
+    def __init__(self, p: int, xi: int, k: int = 6):
         self.p = p
+        self.k = k
         self.xi = xi % p
-        # p^3-Frobenius constants: w^(p^3) = gamma * w
-        self.gamma = pow(self.xi, (p ** 3 - 1) // 6, p)
+        # p^(k/2)-Frobenius constants: w^(p^(k/2)) = gamma * w; this
+        # Frobenius inverts unitary (post-final-exp) elements
+        self.gamma = pow(self.xi, (p ** (k // 2) - 1) // k, p)
 
     def one(self):
-        return (1, 0, 0, 0, 0, 0)
+        return (1,) + (0,) * (self.k - 1)
 
     def from_int(self, v):
-        return (v % self.p, 0, 0, 0, 0, 0)
+        return (v % self.p,) + (0,) * (self.k - 1)
 
     def add(self, a, b):
         p = self.p
@@ -46,26 +51,26 @@ class Fp6Poly:
         return tuple((-x) % p for x in a)
 
     def mul(self, a, b):
-        p, xi = self.p, self.xi
-        t = [0] * 11
+        p, xi, k = self.p, self.xi, self.k
+        t = [0] * (2 * k - 1)
         for i, ai in enumerate(a):
             if ai:
                 for j, bj in enumerate(b):
                     if bj:
                         t[i + j] += ai * bj
-        out = list(t[:6])
-        for k in range(6, 11):
-            out[k - 6] += t[k] * xi
+        out = list(t[:k])
+        for m in range(k, 2 * k - 1):
+            out[m - k] += t[m] * xi
         return tuple(v % p for v in out)
 
     def sqr(self, a):
         return self.mul(a, a)
 
     def conj(self, a):
-        """p^3-Frobenius = inverse on unitary (post-final-exp) elements."""
+        """p^(k/2)-Frobenius = inverse on unitary elements."""
         p, g = self.p, self.gamma
         out, gi = [], 1
-        for i in range(6):
+        for i in range(self.k):
             out.append(a[i] * gi % p)
             gi = gi * g % p
         return tuple(out)
@@ -85,13 +90,13 @@ class Fp6Poly:
         adj = prod of conjugates; implemented as pow(a, s) * invN where
         s = (p^6-1)/(p-1) - 1 would be huge — instead use the extended
         Euclid on polynomials (small, host-only)."""
-        p, xi = self.p, self.xi
-        # polynomial xgcd of a(w) and w^6 - xi over Fp
+        p, xi, k = self.p, self.xi, self.k
+        # polynomial xgcd of a(w) and w^k - xi over Fp
         A = list(a)
-        B = [(-xi) % p, 0, 0, 0, 0, 0, 1]
+        B = [(-xi) % p] + [0] * (k - 1) + [1]
         # invariants: u*a = A (mod modpoly), v*a = B (mod modpoly)
-        u = [1, 0, 0, 0, 0, 0, 0]
-        v = [0] * 7
+        u = [1] + [0] * k
+        v = [0] * (k + 1)
         A = A + [0]
 
         def deg(f):
@@ -114,10 +119,10 @@ class Fp6Poly:
             shift = da - db
             for i in range(db + 1):
                 A[i + shift] = (A[i + shift] - lead * B[i]) % p
-            for i in range(7 - shift):
+            for i in range(k + 1 - shift):
                 u[i + shift] = (u[i + shift] - lead * v[i]) % p
         c_inv = pow(A[0], -1, p)
-        return tuple(x * c_inv % p for x in u[:6])
+        return tuple(x * c_inv % p for x in u[:k])
 
     def eq(self, a, b):
         return all((x - y) % self.p == 0 for x, y in zip(a, b))
@@ -136,15 +141,28 @@ class PairingBW6:
         self.fp12 = self.gt
         p, xi = self.p, self.gt.xi
         self.xi_inv = pow(xi, -1, p)
+        # twist type from b2: M (b*xi) or D (b/xi)
+        b, b2 = curve.b, curve.b2
+        if b2 == b * xi % p:
+            self.twist_d = False
+        elif b2 == b * self.xi_inv % p:
+            self.twist_d = True
+        else:
+            raise ValueError("b2 is neither b*xi nor b/xi")
 
     def _untwist(self, Q):
-        """E'(Fp) -> E(Fp6): (x, y) -> (x*w^4/xi, y*w^3/xi)."""
+        """E'(Fp) -> E(Fp6).  M-twist: (x*w^4/xi, y*w^3/xi);
+        D-twist: (x*w^2, y*w^3)."""
         p = self.p
         x, y = Q
         xq = [0] * 6
         yq = [0] * 6
-        xq[4] = x * self.xi_inv % p
-        yq[3] = y * self.xi_inv % p
+        if self.twist_d:
+            xq[2] = x % p
+            yq[3] = y % p
+        else:
+            xq[4] = x * self.xi_inv % p
+            yq[3] = y * self.xi_inv % p
         return tuple(xq), tuple(yq)
 
     def miller_loop(self, pairs) -> tuple:
@@ -202,14 +220,17 @@ class PairingBW6:
         return f
 
     def _line_eval(self, lam, xT, yT, QQ):
-        """l(x, y) = (y - yT) - lam*(x - xT) at psi(Q): sparse Fp6."""
+        """l(x, y) = (y - yT) - lam*(x - xT) at psi(Q): sparse in GT."""
         p = self.p
         xq, yq = QQ
-        c0 = (lam * xT - yT) % p
-        out = [0] * 6
-        out[0] = c0
-        out[3] = yq[3]
-        out[4] = (-lam * xq[4]) % p
+        out = [0] * self.gt.k
+        out[0] = (lam * xT - yT) % p
+        for i, v in enumerate(yq):
+            if v:
+                out[i] = (out[i] + v) % p
+        for i, v in enumerate(xq):
+            if v:
+                out[i] = (out[i] - lam * v) % p
         return tuple(out)
 
     def _batch_inv(self, vals):
@@ -229,7 +250,7 @@ class PairingBW6:
 
     @functools.cached_property
     def _final_e(self):
-        return (self.p ** 6 - 1) // self.r
+        return (self.p ** self.gt.k - 1) // self.r
 
     def final_exp(self, f) -> tuple:
         return self.gt.pow(f, self._final_e)
@@ -241,3 +262,30 @@ class PairingBW6:
         """prod e(P_i, Q_i) == 1."""
         return self.gt.eq(self.final_exp(self.miller_loop(pairs)),
                           self.gt.one())
+
+
+class PairingBLS24(PairingBW6):
+    """Tate pairing for BLS24 curves (embedding degree 24; G2 on a
+    sextic D-twist over fp4 = fp[u]/(u^4 - c), u = w^6 in
+    fp24 = fp[w]/(w^24 - c)).  Reference: gnark-crypto
+    ecc/bls24-315/pairing.go (optimal ate; Tate chosen here for the
+    same reasons as the BW6 backend — see module docstring)."""
+
+    def __init__(self, curve):
+        self.curve = curve
+        self.p = curve.fp.modulus
+        self.r = curve.fr.modulus
+        self.gt = Fp6Poly(self.p, curve.g2_tower_c, k=24)
+        self.fp12 = self.gt   # interface-compat alias (see PairingBW6)
+
+    def _untwist(self, Q):
+        """E'(Fp4) -> E(Fp24), D-twist: (x, y) -> (x*w^2, y*w^3);
+        fp4 coefficient i of u = w^6 lands at w^(6i+2) / w^(6i+3)."""
+        p = self.p
+        x, y = Q
+        xq = [0] * 24
+        yq = [0] * 24
+        for i in range(4):
+            xq[6 * i + 2] = x[i] % p
+            yq[6 * i + 3] = y[i] % p
+        return tuple(xq), tuple(yq)

@@ -42,6 +42,22 @@ BLS12_377_FP = FieldSpec(
     multiplicative_generator=15,
 )
 
+# --- BLS24-315 (embedding degree 24; 2-chain inner of BW6-633) -------------
+# Derived in-repo from the seed x = -0xbfcfffff (recovered from the GLV
+# lambda + Frobenius constants embedded in the reference's
+# std/algebra/fields_bls24315/e24.go; p/r verified prime, r = x^8-x^4+1,
+# p = (x-1)^2 r/3 + x, r | #E).
+BLS24_315_FR = FieldSpec(
+    name="bls24_315_fr",
+    modulus=11502027791375260645628074404575422495959608200132055716665986169834464870401,
+    multiplicative_generator=7,
+)
+BLS24_315_FP = FieldSpec(
+    name="bls24_315_fp",
+    modulus=39705142709513438335025689890408969744933502416914749335064285505637884093126342347073617133569,
+    multiplicative_generator=13,
+)
+
 # --- BW6-761 (2-chain outer curve over BLS12-377; EHG19) -------------------
 # fr(BW6-761) IS fp(BLS12-377): circuits over it express BLS12-377 base
 # field math natively (one-layer recursion).  761-bit fp derived from the
@@ -52,10 +68,23 @@ BW6_761_FP = FieldSpec(
     multiplicative_generator=2,
 )
 
+# --- BW6-633-class (2-chain outer curve over BLS24-315) ---------------------
+# fr(BW6-633) IS fp(BLS24-315).  NOTE: this instance was derived in-repo
+# by the Brezing-Weng CM construction (t0^2-3t0+3 = 0 mod r, smallest
+# |ht|+|hy| lift with a 633-bit prime); gnark-crypto's published BW6-633
+# may be a different member of the same family — no cross-implementation
+# vectors exist in this environment to pin it (see docs/STATUS notes).
+BW6_633_FP = FieldSpec(
+    name="bw6_633_fp",
+    modulus=20494478644167774678813387386538961497669590920908778075528754551012016751717791778743535050360001387419576570244406805463255765034468441182772056330021723098661967429339971741066259394985997,
+    multiplicative_generator=2,
+)
+
 ALL_FIELDS = {
     f.name: f
     for f in (BN254_FR, BN254_FP, BLS12_381_FR, BLS12_381_FP, BLS12_377_FR,
-              BLS12_377_FP, BW6_761_FP)
+              BLS12_377_FP, BW6_761_FP, BLS24_315_FR, BLS24_315_FP,
+              BW6_633_FP)
 }
 
 __all__ = [
@@ -63,5 +92,5 @@ __all__ = [
     "BN254_FR", "BN254_FP",
     "BLS12_381_FR", "BLS12_381_FP",
     "BLS12_377_FR", "BLS12_377_FP",
-    "BW6_761_FP",
+    "BW6_761_FP", "BLS24_315_FR", "BLS24_315_FP", "BW6_633_FP",
 ]

@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gnark_tpu.ops.limbs import FieldOps, field_ops
 from gnark_tpu.fields.spec import FieldSpec
@@ -131,3 +132,143 @@ class Fp2Ops:
 @functools.lru_cache(maxsize=None)
 def fp2_ops(spec: FieldSpec, beta: int) -> Fp2Ops:
     return Fp2Ops(field_ops(spec), beta)
+
+
+class FpKOps:
+    """Binomial extension fp^k = fp[u]/(u^k - c) on stacked limb planes
+    ([k*L, ...]).  Same ops protocol as FieldOps/Fp2Ops, so ops/ec.py
+    runs unchanged over G2 coordinate fields of any degree — BLS24's
+    fp4 G2 (reference gnark-crypto E4) uses k=4, c=13.
+    """
+
+    def __init__(self, base: FieldOps, k: int, c: int):
+        self.base = base
+        self.k = k
+        self.c = c
+        self.L = k * base.L
+
+    def _split(self, a):
+        Lb = self.base.L
+        return [a[i * Lb:(i + 1) * Lb] for i in range(self.k)]
+
+    def _join(self, parts):
+        return jnp.concatenate(parts, axis=0)
+
+    def zeros(self, n):
+        shape = (n,) if isinstance(n, int) else tuple(n)
+        return jnp.zeros((self.L,) + shape, jnp.uint32)
+
+    def ones(self, n):
+        return self._join([self.base.ones(n)]
+                          + [self.base.zeros(n)] * (self.k - 1))
+
+    def ones_like(self, a):
+        c0 = self._split(a)[0]
+        return self._join([self.base.ones_like(c0)]
+                          + [jnp.zeros_like(c0)] * (self.k - 1))
+
+    def pack(self, tuples):
+        """[(c0..ck-1), ...] host ints -> [k*L, n] Montgomery planes."""
+        return self._join([self.base.pack([t[i] for t in tuples])
+                           for i in range(self.k)])
+
+    def unpack(self, arr):
+        cols = [self.base.unpack(p) for p in self._split(arr)]
+        return list(zip(*cols))
+
+    def add(self, a, b):
+        return self._join([self.base.add(x, y) for x, y
+                           in zip(self._split(a), self._split(b))])
+
+    def sub(self, a, b):
+        return self._join([self.base.sub(x, y) for x, y
+                           in zip(self._split(a), self._split(b))])
+
+    def neg(self, a):
+        return self._join([self.base.neg(x) for x in self._split(a)])
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def _mul_c(self, x):
+        """x * c for the small non-residue c (addition chain)."""
+        F = self.base
+        k = abs(self.c)
+        acc = None
+        bit = x
+        kk = k
+        while kk:
+            if kk & 1:
+                acc = bit if acc is None else F.add(acc, bit)
+            kk >>= 1
+            if kk:
+                bit = F.double(bit)
+        return F.neg(acc) if self.c < 0 else acc
+
+    def mul(self, a, b):
+        F = self.base
+        A = self._split(a)
+        B = self._split(b)
+        k = self.k
+        cols = [None] * (2 * k - 1)
+        for i in range(k):
+            for j in range(k):
+                t = F.mul(A[i], B[j])
+                cols[i + j] = t if cols[i + j] is None else \
+                    F.add(cols[i + j], t)
+        out = cols[:k]
+        for m in range(k, 2 * k - 1):
+            out[m - k] = F.add(out[m - k], self._mul_c(cols[m]))
+        return self._join(out)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        """Fermat in the extension: a^(q^k - 2)... too wide; instead use
+        the norm-free Itoh-Tsujii-style reduction via a^(r) where
+        r = (q^k-1)/(q-1): a^r lies in fp.  Simpler and adequate for the
+        verifier-side use: linear-algebra-free exponentiation by q^k-2
+        is impractical on device; G2 to_affine instead uses this via
+        repeated Frobenius is unavailable -> use CPU-free approach:
+        compute the adjugate via exponent (q^k-1)/(q-1) - 1 in fp^k,
+        then one fp inversion."""
+        # a^s where s = q^(k-1) + ... + q (conjugate product / a):
+        # implemented as exp by integer s (device scan over bits)
+        q = self.base.spec.modulus
+        k = self.k
+        s = sum(q ** i for i in range(1, k))
+        conj_prod = self._exp_const(a, s)         # prod of conjugates / a^0
+        norm_full = self.mul(a, conj_prod)        # = Norm(a) in fp (c0 only)
+        parts = self._split(norm_full)
+        n0_inv = self.base.inv(parts[0])
+        return self._join([self.base.mul(p, n0_inv)
+                           for p in self._split(conj_prod)])
+
+    def _exp_const(self, a, e: int):
+        nbits = e.bit_length()
+        bits = np.array([(e >> i) & 1 for i in range(nbits)], np.uint32)
+
+        def body(carry, bit):
+            result, base = carry
+            result = jnp.where(bit > 0, self.mul(result, base), result)
+            base = self.sqr(base)
+            return (result, base), None
+
+        (result, _), _ = jax.lax.scan(
+            body, (self.ones_like(a), a), bits)
+        return result
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=0)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=0)
+
+    def select(self, mask, a, b):
+        return jnp.where(jnp.asarray(mask)[None], a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def fpk_ops(spec: FieldSpec, k: int, c: int) -> FpKOps:
+    return FpKOps(field_ops(spec), k, c)

@@ -45,6 +45,7 @@ class ShardedDomain:
         self.axis = axis
         self.A = mesh.shape[axis]
         assert n % self.A == 0 and (n & (n - 1)) == 0
+        assert (n // self.A) % self.A == 0, "4-step NTT needs n >= A^2"
         self.B = n // self.A
         self.F = field_ops(spec)
         self.local_domain = Domain(spec, self.B)
