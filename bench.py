@@ -9,12 +9,11 @@ ratio against gnark's published-order CPU throughput (~1.7e6 points/s on
 a 64-core x86 host for BN254 G1 MultiExp), the BASELINE.md north-star
 config 4 proxy.
 
-Round-1 state: the window-batched Pippenger (all windows as one wide
-vector pipeline: vmapped sort/gather, batched leaf prefix scan and
-bucket reduction) measures ~148k points/s/chip at 2^16 on v5e,
-bit-exact vs the host oracle.  Remaining gap to gnark's 64-core x86
-number is ~10x; the Pallas/MXU leaf-phase fusion is the next lever
-(docs/PERF.md).
+Round-2 state: the windowed Pippenger's leaf phase now runs as a
+Pallas kernel with the accumulator VMEM-resident across the whole
+per-lane prefix scan (ops/msm.py _leaf_prefix_pallas); bucket
+extraction and the weighted suffix reduction remain XLA.  Bit-exact vs
+the host oracle at every size tested (docs/PERF.md).
 """
 
 import json
@@ -65,7 +64,7 @@ def main():
     scalars = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
-    plan = MSM(G, n, curve.fr.L, method="window")
+    plan = MSM(G, n, curve.fr.L, method="window_pallas")
     out = plan(xs, ys, inf, sc)  # compile + first run
     np.asarray(out[0])  # force full execution (block_until_ready is not
     # sufficient over the remote-TPU tunnel: only a device-to-host fetch

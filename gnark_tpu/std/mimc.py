@@ -5,33 +5,41 @@ Miyaguchi-Preneel over the MiMC block cipher; per curve the round
 function is x <- (x + h + c_i)^5 (BN254, BLS12-381) or the inverse
 round x <- (x + h + c_i)^-1 (BLS12-377); Sum folds h <- h + E(m) + m.
 
-Round constants are derived by a SHA-256 chain from a seed string.
-NOTE: gnark-crypto derives its constants with legacy Keccak-256; since
-gnark-crypto is not vendored in the reference tree, this framework uses
-its own documented derivation — host and circuit are bit-identical to
-EACH OTHER (differential-tested), which is what Merkle/EdDSA need.
+Round constants follow gnark-crypto's derivation: an iterated legacy
+Keccak-256 chain from the seed string "seed" —
+c_i = Keccak^(i+2)("seed") mod q (ecc/<curve>/fr/mimc/mimc.go
+initConstants).  CAVEAT: gnark-crypto is not vendored in the reference
+tree and this environment has no network, so the chain's exact
+write/reset sequencing is reproduced from its documented structure and
+cannot be byte-verified against upstream here; OUR host and circuit
+implementations are bit-identical to each other (differential-tested)
+and the digests are pinned as goldens in tests/test_std.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import hashlib
+
+from gnark_tpu.utils.keccak import keccak256
 
 
 @dataclasses.dataclass(frozen=True)
 class MiMCParams:
     n_rounds: int
     sbox: str        # "pow5" | "inverse"
-    seed: str = "gnark_tpu_mimc_seed"
+    seed: str = "seed"   # gnark-crypto's seed string
 
 
 PARAMS = {
     "bn254": MiMCParams(n_rounds=110, sbox="pow5"),
     "bls12_381": MiMCParams(n_rounds=111, sbox="pow5"),
     "bls12_377": MiMCParams(n_rounds=62, sbox="inverse"),
-    # outer curve of the 2-chain (761-bit fr): pow5 like the reference's
-    # BW6-761 variant (std/hash/mimc/encrypt.go:41 encryptPow5)
+    # outer curves of the 2-chains: pow5 like the reference's BW6
+    # variants (std/hash/mimc/encrypt.go:38-41 encryptPow5); round
+    # counts from ceil(bits(q) / log2(5))
     "bw6_761": MiMCParams(n_rounds=137, sbox="pow5"),
+    "bw6_633": MiMCParams(n_rounds=136, sbox="pow5"),
+    "bls24_315": MiMCParams(n_rounds=109, sbox="pow5"),
 }
 
 _constants_cache = {}
@@ -42,10 +50,10 @@ def round_constants(curve_name: str, modulus: int) -> list:
     if key not in _constants_cache:
         params = PARAMS[curve_name]
         cs = []
-        h = hashlib.sha256(params.seed.encode()).digest()
+        rnd = keccak256(params.seed.encode())
         for _ in range(params.n_rounds):
-            h = hashlib.sha256(h).digest()
-            cs.append(int.from_bytes(h, "big") % modulus)
+            rnd = keccak256(rnd)
+            cs.append(int.from_bytes(rnd, "big") % modulus)
         _constants_cache[key] = cs
     return _constants_cache[key]
 

@@ -176,3 +176,21 @@ def test_ternary_and_naf():
     a = Ternary()
     a.v, a.w = 3 ** 11 - 5, 1000
     test_harness.prover_succeeded(Ternary, a)
+
+
+def test_mimc_golden_digests():
+    """Pin the keccak-chain round-constant derivation (gnark-crypto
+    structure, see std/mimc.py caveat): mimc(12345) per curve."""
+    from gnark_tpu.curves import (BLS12_377, BLS12_381, BLS24_315, BN254,
+                                  BW6_633, BW6_761)
+    from gnark_tpu.std.mimc import mimc_hash
+    golden = {
+        "bn254": 18146917318481812645722117845613669474519613444966114841141548207944429999455,
+        "bls12_381": 47497899474892410415985766704767937826124063418577145894616483902780098152088,
+        "bls12_377": 5751355265600680005426107910457456988197935762956554404097619488954804593753,
+        "bls24_315": 1701900559257181960668998168157191655038672865215325390282961542982772502509,
+        "bw6_633": 875525048382201788449136652700918819396455172117902998054118955250912532034420720433529217372,
+        "bw6_761": 238355638580015487351811983620679849677188783841343234019816880273842142537194302484191454671332521430890532255705,
+    }
+    for c in (BN254, BLS12_381, BLS12_377, BLS24_315, BW6_633, BW6_761):
+        assert mimc_hash(c, 12345) == golden[c.name], c.name
