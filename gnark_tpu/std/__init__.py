@@ -13,4 +13,7 @@ def register_hints():
     servers that solve deserialized constraint systems."""
     # importing the modules registers their hints
     from gnark_tpu.std import bits  # noqa: F401
+    from gnark_tpu.backend import hints as _h
+    from gnark_tpu.std.algebra import sw_bls12377 as _sw
+    _h.register(_sw.decompose_scalar_bls12377)   # std/hints.go:25 analog
     return _hints.all_registered()

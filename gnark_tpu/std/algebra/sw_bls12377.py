@@ -25,6 +25,35 @@ X_PARAM = BLS12_377.x_param  # 9586122913090633729 (positive)
 FP = BLS12_377.fp.modulus
 FR = BLS12_377.fr.modulus
 
+# ---- GLV endomorphism parameters (g1.go:209 DecomposeScalar) -------------
+# lambda = x^2 - 1 is a cube root of unity mod r (lambda^2+lambda+1 = 0);
+# beta is the matching cube root in fp with phi(P) = (beta*x, y) = [lambda]P.
+GLV_LAMBDA = (X_PARAM * X_PARAM - 1) % FR
+GLV_BETA = 80949648264912719408558363140637477264845294720710499478137287262712535938301461879813459410945
+# short lattice basis for the split: v1 = (lambda, -1), v2 = (1, x^2);
+# det = lambda*x^2 + 1 = r
+_X2 = X_PARAM * X_PARAM
+
+
+def decompose_scalar_bls12377(q, ins, n):
+    """Hint: s -> (s1, s2, k) with s1 + lambda*s2 = s + k*r, s1/s2
+    nonnegative ~128-bit with the high bits set (babai rounding on the
+    GLV lattice + the reference's (lambda+1, lambda) normalization)."""
+    s = ins[0] % FR
+    a = (s * _X2 + FR // 2) // FR
+    b = (s + FR // 2) // FR
+    s1 = s - a * GLV_LAMBDA - b
+    s2 = a - b * _X2
+    guard = 0
+    while s1 < 0 or s2 < 0 or (s1 <= GLV_LAMBDA and s2 <= GLV_LAMBDA):
+        s1 += GLV_LAMBDA + 1
+        s2 += GLV_LAMBDA
+        guard += 1
+        assert guard < 8, "GLV normalization runaway"
+    k, rem = divmod(s1 + GLV_LAMBDA * s2 - s, FR)
+    assert rem == 0
+    return [s1, s2, k]
+
 
 @functools.lru_cache(maxsize=None)
 def frobenius_gammas(power: int = 1):
@@ -82,6 +111,51 @@ class G1Gadget:
         y2 = api.mul(P[1], P[1])
         x3b = api.add(api.mul(api.mul(P[0], P[0]), P[0]), BLS12_377.b)
         api.assert_is_equal(y2, x3b)
+
+    def scalar_mul_var(self, Q, s):
+        """[s]Q for a VARIABLE point and scalar via GLV (g1.go:234
+        varScalarMul): decompose s = s1 + lambda*s2 (hint, verified
+        in-circuit), run a 128-iteration joint double-and-add over
+        (Q, phi(Q)) instead of a 253-bit ladder — the endomorphism
+        phi(x, y) = (beta*x, y) acts as multiplication by lambda."""
+        api = self.api
+        sd = api.new_hint(decompose_scalar_bls12377, 3, s)
+        s1, s2, k = sd
+        # s1 + lambda*s2 == s + k*r over the outer field (no wrap: both
+        # sides < 2^256 << 2^377)
+        api.assert_is_equal(api.add(s1, api.mul(s2, GLV_LAMBDA)),
+                            api.add(s, api.mul(k, FR)))
+        nbits = GLV_LAMBDA.bit_length() + 1
+        s1b = api.to_binary(s1, nbits)
+        s2b = api.to_binary(s2, nbits)
+
+        phiQ = (api.mul(Q[0], GLV_BETA), Q[1])
+        negQ, negPhiQ = self.neg(Q), self.neg(phiQ)
+
+        def pick(bit, P, Pneg):
+            # only y differs under negation
+            return (P[0], api.select(bit, P[1], Pneg[1]))
+
+        # Acc = [2](Q + phi(Q)) +- Q +- phi(Q): high bits guaranteed set
+        # by the decomposition, keeping the incomplete adds off their
+        # degenerate cases for honest inputs (g1.go:289-300)
+        acc = self.add(Q, phiQ)
+        acc = self.double(acc)
+        acc = self.add(acc, pick(s1b[nbits - 1], Q, negQ))
+        acc = self.add(acc, pick(s2b[nbits - 1], phiQ, negPhiQ))
+
+        for i in range(nbits - 2, 0, -1):
+            B = self.add(pick(s1b[i], Q, negQ), pick(s2b[i], phiQ, negPhiQ))
+            acc = self.add(self.double(acc), B)
+
+        # bit 0: conditionally subtract Q / phi(Q)
+        accQ = self.add(acc, negQ)
+        acc = (api.select(s1b[0], acc[0], accQ[0]),
+               api.select(s1b[0], acc[1], accQ[1]))
+        accP = self.add(acc, negPhiQ)
+        acc = (api.select(s2b[0], acc[0], accP[0]),
+               api.select(s2b[0], acc[1], accP[1]))
+        return acc
 
     def scalar_mul_const_base(self, base, scalar, nb_bits=None):
         """scalar * base for a CONSTANT host affine base point.

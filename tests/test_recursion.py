@@ -144,3 +144,40 @@ def test_recursive_verifier_solver(inner_proof):
     sol = solver.solve(cs, pub + sec)
     assert sol is not None
     assert not solver.is_solved(cs, [36] + sec)
+
+
+def test_glv_scalar_mul_var():
+    """GLV variable-point scalar mul (g1.go:234 varScalarMul analog):
+    engine differential + compiled/solved circuit at half the ladder's
+    iteration count."""
+    import random
+    from gnark_tpu.std.algebra.sw_bls12377 import (
+        G1Gadget, decompose_scalar_bls12377, GLV_LAMBDA)
+
+    api = _engine()
+    g1 = G1Gadget(api)
+    host = BLS12_377.host_g1
+    rng = random.Random(11)
+    k = rng.randrange(2, BLS12_377.fr.modulus)
+    base = host.scalar_mul(BLS12_377.g1_gen, 7)
+    assert g1.scalar_mul_var(base, k) == host.scalar_mul(base, k)
+
+    # compiled: prove knowledge of k with [k]G == public point
+    class GlvCircuit(Circuit):
+        out_x = Public()
+        out_y = Public()
+        k = Secret()
+
+        def define(self, api):
+            g = G1Gadget(api)
+            P = g.scalar_mul_var(base, self.k)
+            api.assert_is_equal(P[0], self.out_x)
+            api.assert_is_equal(P[1], self.out_y)
+
+    cs = compile_circuit(GlvCircuit(), BW6_761)
+    want = host.scalar_mul(base, k)
+    sol = solver.solve(cs, [want[0], want[1], k])
+    assert sol is not None
+    # ~128 GLV iterations vs 253 ladder steps: constraint count must
+    # reflect the halving (ladder version was ~6/bit)
+    assert cs.nb_constraints < 2500, cs.nb_constraints
