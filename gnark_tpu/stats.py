@@ -25,10 +25,18 @@ def register_snippet(name):
 
 
 def snippet_stats(curve, scheme: str) -> dict:
-    """-> {snippet name: constraint count}."""
+    """-> {snippet name: constraint count}.  Snippets whose gadget has no
+    parameters for this curve (e.g. no twisted-Edwards companion) are
+    skipped — same shape as the reference's per-curve snippet matrix."""
     out = {}
     for name, make in sorted(_snippets.items()):
-        cs = compile_circuit(make(), curve, scheme=scheme)
+        try:
+            cs = compile_circuit(make(), curve, scheme=scheme)
+        except Exception as e:
+            if isinstance(e, KeyError) or \
+                    isinstance(getattr(e, "cause", None), KeyError):
+                continue
+            raise
         out[name] = cs.nb_constraints
     return out
 
@@ -131,6 +139,47 @@ def _():
     return _simple(d)()
 
 
+@register_snippet("or")
+def _():
+    return _simple(lambda api, x, y: api.assert_is_equal(api.or_(x, y), 1))()
+
+
+@register_snippet("and")
+def _():
+    return _simple(lambda api, x, y: api.assert_is_equal(api.and_(x, y), 0))()
+
+
+@register_snippet("from_binary_8")
+def _():
+    def d(api, x, y):
+        bits = api.to_binary(x, 8)
+        api.assert_is_equal(api.from_binary(*bits), y)
+    return _simple(d)()
+
+
+@register_snippet("assert_boolean")
+def _():
+    def d(api, x, y):
+        api.assert_is_boolean(x)
+        api.assert_is_equal(x, y)
+    return _simple(d)()
+
+
+@register_snippet("glv_scalar_mul")
+def _():
+    def d(api, x, y):
+        # only meaningful over BW6-761 (inner BLS12-377 points)
+        from gnark_tpu.curves import BLS12_377
+        from gnark_tpu.std.algebra.sw_bls12377 import G1Gadget
+        if api.curve.fr.modulus != BLS12_377.fp.modulus:
+            raise KeyError("bw6_761 only")
+        g = G1Gadget(api)
+        P = g.scalar_mul_var(
+            BLS12_377.g1_gen, x)
+        api.assert_is_equal(P[0], y)
+    return _simple(d)()
+
+
 @register_snippet("eddsa_scalar_mul_64")
 def _():
     def d(api, x, y):
@@ -142,8 +191,8 @@ def _():
 
 
 def main():
-    from gnark_tpu.curves import BN254
-    print(json.dumps(all_stats([BN254]), indent=2))
+    from gnark_tpu.curves import ALL_CURVES
+    print(json.dumps(all_stats(list(ALL_CURVES.values())), indent=2))
 
 
 if __name__ == "__main__":
