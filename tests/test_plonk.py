@@ -86,3 +86,24 @@ def test_shared_srs_across_circuits():
         pk, vk = plonk.setup(cs, BN254, srs=srs, host=True)
         proof = plonk.prove(cs, pk, [35, 3], rng=random.Random(8))
         assert plonk.verify(proof, vk, [35])
+
+
+def test_transcript_matches_reference_algorithm():
+    """Byte-level check of the Fiat-Shamir transcript against the
+    reference's documented derivation (std/fiat-shamir/transcript.go:92
+    ComputeChallenge): H(name || previous || bindings...) with sha256 —
+    computed here by hand, independent of backend/transcript.py."""
+    import hashlib
+    from gnark_tpu.backend.transcript import Transcript
+
+    fs = Transcript("gamma", "beta", "alpha")
+    fs.bind("gamma", b"\x01\x02")
+    fs.bind("gamma", b"\x03")
+    fs.bind("alpha", b"\xff" * 32)
+
+    want_gamma = hashlib.sha256(b"gamma" + b"\x01\x02" + b"\x03").digest()
+    assert fs.compute_challenge("gamma") == want_gamma
+    want_beta = hashlib.sha256(b"beta" + want_gamma).digest()
+    assert fs.compute_challenge("beta") == want_beta
+    want_alpha = hashlib.sha256(b"alpha" + want_beta + b"\xff" * 32).digest()
+    assert fs.compute_challenge("alpha") == want_alpha
