@@ -16,8 +16,10 @@ from gnark_tpu.frontend.schema import Circuit, Public, Secret
 from gnark_tpu.std import eddsa, merkle
 from gnark_tpu.std.mimc import MiMC, MiMCHost
 
-DEPTH = 3          # tree with 2^DEPTH accounts (reference uses depth 5)
-BATCH_SIZE = 1
+DEPTH = 4          # 2^4 = 16 accounts; inclusion proofs have DEPTH+1 = 5
+                   # entries — matching the reference (circuit.go:29-31:
+                   # nbAccounts = 16, depth = 5, batchSize = 1)
+BATCH_SIZE = 1     # transfers per proof (reference batchSize = 1)
 
 
 @dataclasses.dataclass
