@@ -98,6 +98,11 @@ class FieldOps:
     def __init__(self, spec: FieldSpec):
         self.spec = spec
         self.L = spec.L
+        # wide fields (BW6: 40-48 limbs): the fully-unrolled O(L^2)
+        # schoolbook graph makes XLA compiles explode (measured 173s for
+        # ONE L=48 mul vs 1.4s at L=16); roll the row loop into a
+        # fori_loop so the graph is O(L)
+        self._big = spec.L >= 24
         self._p = np.asarray(spec.p_limbs, np.uint32)
         self._r2 = np.asarray(spec.r2_limbs, np.uint32)
         self._one = np.asarray(spec.one_mont, np.uint32)
@@ -220,6 +225,48 @@ class FieldOps:
             cols = contrib if cols is None else cols + contrib
         return cols
 
+    def _mul_wide_scan(self, a, b):
+        """Rolled-loop variant of _mul_wide for wide fields: fori_loop
+        over the L rows with dynamic-slice accumulation — O(L) graph,
+        same lazy-column invariants (columns < 2*L*2^16 < 2^32)."""
+        L = self.L
+        shape = a.shape[1:]
+        zero_row = jnp.zeros((1,) + shape, _U32)
+        acc0 = jnp.zeros((2 * L + 1,) + shape, _U32)
+
+        def body(i, acc):
+            ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+            prod = ai[None] * b                       # [L, ...]
+            lo = prod & _MASK
+            hi = prod >> W
+            contrib = (jnp.concatenate([lo, zero_row], axis=0)
+                       + jnp.concatenate([zero_row, hi], axis=0))
+            seg = jax.lax.dynamic_slice_in_dim(acc, i, L + 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, seg + contrib, i, axis=0)
+
+        return jax.lax.fori_loop(0, L, body, acc0)
+
+    def _mul_wide_const_scan(self, a, c_ints):
+        L = self.L
+        shape = a.shape[1:]
+        c_arr = jnp.asarray(np.array([int(v) for v in c_ints], np.uint32))
+        zero_row = jnp.zeros((1,) + shape, _U32)
+        acc0 = jnp.zeros((2 * L + 1,) + shape, _U32)
+
+        def body(i, acc):
+            ci = jax.lax.dynamic_index_in_dim(c_arr, i, 0, keepdims=False)
+            prod = a * ci
+            lo = prod & _MASK
+            hi = prod >> W
+            contrib = (jnp.concatenate([lo, zero_row], axis=0)
+                       + jnp.concatenate([zero_row, hi], axis=0))
+            seg = jax.lax.dynamic_slice_in_dim(acc, i, L + 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, seg + contrib, i, axis=0)
+
+        return jax.lax.fori_loop(0, L, body, acc0)
+
     def mul(self, a, b):
         """Montgomery product aR * bR -> abR mod p (separated REDC).
 
@@ -228,6 +275,19 @@ class FieldOps:
         """
         L = self.L
         a, b = jnp.broadcast_arrays(a, b)
+
+        if self._big:
+            t = self._mul_wide_scan(a, b)
+            t_low, c_low = _propagate(t[:L])
+            m = self._mul_wide_const_scan(t_low, self._pinv_ints)
+            m, _ = _propagate(m[:L])
+            mp = self._mul_wide_const_scan(m, self._p_ints)
+            _, carry = _propagate(t_low + mp[:L])
+            high = t[L:2 * L] + mp[L:2 * L]
+            high = jnp.concatenate(
+                [(high[0] + c_low + carry)[None], high[1:]], axis=0)
+            res, _ = _propagate(high[:L])
+            return self._cond_sub_p(res)
 
         t = self._mul_wide(a, b)                       # [2L+1, ...]
         t_low, c_low = _propagate(t[:L])               # canonical t mod R

@@ -106,8 +106,13 @@ class MSM:
             if jax.default_backend() != "cpu":
                 # measured on v5e (docs/PERF.md): the Pallas-fused
                 # windowed Pippenger wins from ~2^13 up; the fused
-                # Pallas ladder has lower fixed cost below that
-                method = "window_pallas" if n >= 8192 else "ladder_pallas"
+                # Pallas ladder has lower fixed cost below that.
+                # Wide fields (BW6, L>=24) use the rolled-loop field mul
+                # whose fori_loop body is not Pallas-lowered — XLA path.
+                if G.F.L >= 24:
+                    method = "window"
+                else:
+                    method = "window_pallas" if n >= 8192 else "ladder_pallas"
             elif n <= LADDER_THRESHOLD:
                 method = "ladder"
         if method in ("ladder", "ladder_pallas"):
