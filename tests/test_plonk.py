@@ -107,3 +107,16 @@ def test_transcript_matches_reference_algorithm():
     assert fs.compute_challenge("beta") == want_beta
     want_alpha = hashlib.sha256(b"alpha" + want_beta + b"\xff" * 32).digest()
     assert fs.compute_challenge("alpha") == want_alpha
+
+
+@pytest.mark.slow
+def test_device_plonk_prove_verify():
+    """Device-path PLONK prove on a small circuit: exercises the KZG
+    device commits including the opening quotient sizing against the
+    default SRS (the ADVICE r1 high finding: an oversized r_poly used to
+    crash commit_device at trace time)."""
+    cs = compile_circuit(CubicCircuit(), BN254, scheme="plonk")
+    pk, vk = plonk.setup(cs, BN254, rng=random.Random(9))   # device mode
+    proof = plonk.prove(cs, pk, [35, 3], rng=random.Random(10))
+    assert plonk.verify(proof, vk, [35])
+    assert not plonk.verify(proof, vk, [36])
