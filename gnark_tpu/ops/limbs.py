@@ -30,54 +30,87 @@ _MASK = np.uint32(MASK)
 
 
 def _propagate(limbs):
-    """Carry-propagate a list/array of uint32 columns to canonical 16-bit limbs.
+    """Carry-propagate lazy uint32 columns to canonical 16-bit limbs.
 
     Returns (canonical [L, n], carry_out [n]).
+
+    Parallel formulation (vs the naive L-deep ripple, which serializes
+    into L latency-bound [n]-wide ops): one multi-bit carry fold, then a
+    Kogge-Stone carry-lookahead over the limb axis — log2(L) steps of
+    full [L, n]-wide VPU ops.
     """
-    out = []
-    carry = jnp.zeros_like(limbs[0])
-    for i in range(len(limbs)):
-        v = limbs[i] + carry
-        out.append(v & _MASK)
-        carry = v >> W
-    return jnp.stack(out), carry
+    x = limbs if isinstance(limbs, jnp.ndarray) else jnp.stack(list(limbs))
+    L = x.shape[0]
+    zrow = jnp.zeros_like(x[:1])
+    # fold multi-bit carries one position up: t_i = (x_i & M) + (x_{i-1} >> W)
+    t = (x & _MASK) + jnp.concatenate([zrow, x[:-1] >> W], axis=0)
+    # binary carries remain: generate/propagate per limb
+    g = t >> W                         # 0/1
+    p = (t & _MASK) == _MASK
+    # Kogge-Stone prefix of the carry-lookahead operator along the limb axis
+    d = 1
+    while d < L:
+        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:-d]], axis=0)
+        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:-d]], axis=0)
+        g = g | (p.astype(_U32) * g_sh)
+        p = p & p_sh
+        d <<= 1
+    cin = jnp.concatenate([zrow, g[:-1]], axis=0)
+    out = (t + cin) & _MASK
+    # carry out = last fold carry + last lookahead generate
+    carry = (x[-1] >> W) + g[-1]
+    return out, carry
+
+
+def _lookahead(g, p):
+    """Kogge-Stone prefix of the carry/borrow-lookahead operator along
+    axis 0: returns the inclusive scan of g under propagate mask p
+    (log2(L) full-width steps instead of an L-deep ripple)."""
+    L = g.shape[0]
+    d = 1
+    while d < L:
+        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:-d]], axis=0)
+        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:-d]], axis=0)
+        g = g | (p.astype(_U32) * g_sh)
+        p = p & p_sh
+        d <<= 1
+    return g
+
+
+def _borrow_sub(a_limbs, b_limbs):
+    """Generic lookahead subtraction of canonical 16-bit limb planes.
+    Returns (diff canonical, borrow_out 0/1)."""
+    t = a_limbs + (_MASK + jnp.uint32(1)) - b_limbs    # in [1, 2^17)
+    g = (t >> W) ^ jnp.uint32(1)                       # borrow generated
+    p = (t & _MASK) == 0                               # propagates borrow
+    gs = _lookahead(g, p)
+    zrow = jnp.zeros_like(gs[:1])
+    bin_ = jnp.concatenate([zrow, gs[:-1]], axis=0)
+    out = (t - bin_) & _MASK
+    return out, gs[-1]
 
 
 def _sub_borrow(a, b):
     """a - b over limb planes. Returns (diff [L, n] canonical, borrow [n] 0/1)."""
-    L = a.shape[0]
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
-    for i in range(L):
-        d = a[i].astype(jnp.int32) - b[i].astype(jnp.int32) - borrow
-        out.append((d & jnp.int32(MASK)).astype(_U32))
-        borrow = (d < 0).astype(jnp.int32)
-    return jnp.stack(out), borrow
+    return _borrow_sub(a, b)
+
+
+def _const_planes(c_limbs, ref):
+    """python-int limbs -> [L, 1...] scalar-literal planes broadcastable
+    against `ref` (built per limb from scalars: Pallas-safe)."""
+    shape = (1,) * (ref.ndim - 1)
+    return jnp.stack([jnp.full(shape, int(v), _U32) for v in c_limbs])
 
 
 def _sub_const_borrow(a, c_limbs):
     """a - const over limb planes, const given as python-int limbs.
     Scalar literals (no captured arrays) keep kernels Pallas-lowerable."""
-    L = a.shape[0]
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
-    for i in range(L):
-        d = a[i].astype(jnp.int32) - jnp.int32(int(c_limbs[i])) - borrow
-        out.append((d & jnp.int32(MASK)).astype(_U32))
-        borrow = (d < 0).astype(jnp.int32)
-    return jnp.stack(out), borrow
+    return _borrow_sub(a, _const_planes(c_limbs, a))
 
 
 def _rsub_const_borrow(c_limbs, a):
     """const - a over limb planes (for negation)."""
-    L = a.shape[0]
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
-    for i in range(L):
-        d = jnp.int32(int(c_limbs[i])) - a[i].astype(jnp.int32) - borrow
-        out.append((d & jnp.int32(MASK)).astype(_U32))
-        borrow = (d < 0).astype(jnp.int32)
-    return jnp.stack(out), borrow
+    return _borrow_sub(_const_planes(c_limbs, a), a)
 
 
 def _const_for(c, ndim):
@@ -161,13 +194,12 @@ class FieldOps:
         return jnp.where((borrow == 0)[None], diff, x)
 
     def _add_p(self, d):
-        out = []
-        carry = jnp.zeros(d.shape[1:], _U32)
-        for i in range(self.L):
-            v = d[i] + jnp.uint32(self._p_ints[i]) + carry
-            out.append(v & _MASK)
-            carry = v >> W
-        return jnp.stack(out)
+        t = d + _const_planes(self._p_ints, d)
+        g = t >> W
+        p = (t & _MASK) == _MASK
+        gs = _lookahead(g, p)
+        cin = jnp.concatenate([jnp.zeros_like(gs[:1]), gs[:-1]], axis=0)
+        return (t + cin) & _MASK
 
     def add(self, a, b):
         s, _ = _propagate(a + b)  # inputs < p < 2^(16L) so no carry out
