@@ -601,6 +601,45 @@ def prove(cs, pk, witness_values, rng=None, check: bool = True,
 
     r, s = rnd(q), rnd(q)
 
+    if curve.fp.L >= 24:
+        # wide-field (BW6) curves: the 16-bit-limb device MSM pays an
+        # O(L^2) representation penalty at 761-bit widths; the native
+        # 64-bit CIOS Pippenger core is the fast path (and G2 is over fp
+        # on these curves, so one code path serves all five MSMs)
+        from gnark_tpu.backend.native_field import native_msm
+        if not hasattr(pk, "_host_np"):
+            pk._host_np = {
+                name: tuple(np.asarray(a) for a in getattr(pk, name))
+                for name in ("A", "B1", "B2", "K", "Z")}
+
+        def hmsm(name, scalars):
+            x, y, i = pk._host_np[name]
+            k = min(scalars.shape[1], x.shape[1])
+            with profiling.phase(f"groth16.native_msm.{name}"):
+                # PK device planes hold MONTGOMERY-form coordinates
+                return native_msm(curve, x[:, :k], y[:, :k], i[:k],
+                                  np.asarray(scalars)[:, :k],
+                                  coords_mont=True)
+
+        h_np = np.asarray(h_brev)
+        ar_p, = [hmsm("A", wires)]
+        bs1_p = hmsm("B1", wires)
+        bs2_p = hmsm("B2", wires)
+        krs_p = hmsm("K", priv)
+        krsz_p = hmsm("Z", h_np)
+        host1, host2 = curve.host_g1, curve.host_g2
+        ar = host1.add(host1.add(ar_p, pk.alpha_g1),
+                       host1.scalar_mul(pk.delta_g1, r))
+        bs1 = host1.add(host1.add(bs1_p, pk.beta_g1),
+                        host1.scalar_mul(pk.delta_g1, s))
+        bs = host2.add(host2.add(bs2_p, pk.beta_g2),
+                       host2.scalar_mul(pk.delta_g2, s))
+        krs = host1.add(krs_p, krsz_p)
+        krs = host1.add(krs, host1.scalar_mul(ar, s))
+        krs = host1.add(krs, host1.scalar_mul(bs1, r))
+        krs = host1.add(krs, host1.scalar_mul(pk.delta_g1, (-r * s) % q))
+        return Proof(ar=ar, bs=bs, krs=krs)
+
     with profiling.phase("groth16.msm"):
         if mesh is not None:
             from gnark_tpu.parallel.sharded_msm import ShardedMSM

@@ -23,7 +23,7 @@ _I64P = ctypes.POINTER(ctypes.c_int64)
 
 def _nlimbs64(q: int) -> int:
     n = -(-q.bit_length() // 64)
-    for cand in (1, 2, 3, 4, 5, 6, 8, 12):
+    for cand in (1, 2, 3, 4, 5, 6, 8, 10, 12):
         if cand >= n:
             return cand
     raise ValueError(f"modulus too wide: {q.bit_length()} bits")
@@ -189,3 +189,56 @@ class Nat:
 @functools.lru_cache(maxsize=None)
 def nat_for(q: int) -> Nat:
     return Nat(q)
+
+
+def native_msm(curve, xs_planes, ys_planes, inf_mask, scalars_planes,
+               c: int = 10, coords_mont: bool = False):
+    """Host Pippenger MSM on the C core for wide-field curves.
+
+    xs/ys: [Lp16, n] uint32/uint64 16-bit limb planes (regular form);
+    scalars: [Lr16, n] planes (regular form).  Returns a host affine
+    point or None.  Reference: gnark-crypto MultiExp (bucket method) —
+    this is the CPU path the TPU's 16-bit limb layout can't beat at
+    761-bit field widths.
+    """
+    import sys
+    assert sys.byteorder == "little"
+    from gnark_tpu.native import solver_lib
+    lib = solver_lib()
+    if lib is None:
+        return None
+    p = curve.fp.modulus
+    nat_p = nat_for(p)
+    nat_r = nat_for(curve.fr.modulus)
+    n = xs_planes.shape[1]
+
+    def planes_to_rows(planes, N):
+        a = np.ascontiguousarray(
+            np.asarray(planes, np.uint16).T)          # [n, L16]
+        L16 = a.shape[1]
+        pad = 4 * N - L16
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((n, pad), np.uint16)], axis=1)
+        return np.ascontiguousarray(a).view(np.uint64).reshape(n, N)
+
+    xs64 = planes_to_rows(xs_planes, nat_p.N)
+    ys64 = planes_to_rows(ys_planes, nat_p.N)
+    sc64 = planes_to_rows(scalars_planes, nat_r.N)
+    infu = np.ascontiguousarray(np.asarray(inf_mask, np.uint8))
+    out = np.zeros((3, nat_p.N), np.uint64)
+    rc = lib.gnark_msm(
+        ctypes.c_int(nat_p.N), nat_p._ptr(nat_p._mod), nat_p._ptr(nat_p._r2),
+        nat_p._ptr(nat_p._one), ctypes.c_int64(n),
+        nat_p._ptr(xs64), nat_p._ptr(ys64),
+        infu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(nat_r.N), nat_r._ptr(sc64),
+        ctypes.c_int(c), ctypes.c_int(1 if coords_mont else 0),
+        nat_p._ptr(out))
+    assert rc == 0, rc
+    X, Y, Z = nat_p.unpack(out)
+    if Z == 0:
+        return None
+    zinv = pow(Z, -1, p)
+    z2 = zinv * zinv % p
+    return (X * z2 % p, Y * z2 % p * zinv % p)

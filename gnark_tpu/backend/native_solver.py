@@ -25,7 +25,7 @@ _HINT_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_int64)
 
 def _nlimbs64(q: int) -> int:
     n = -(-q.bit_length() // 64)
-    for cand in (1, 2, 3, 4, 5, 6, 8, 12):
+    for cand in (1, 2, 3, 4, 5, 6, 8, 10, 12):
         if cand >= n:
             return cand
     raise ValueError(f"modulus too wide: {q.bit_length()} bits")

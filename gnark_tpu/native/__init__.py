@@ -25,7 +25,7 @@ def _ensure_lib(name: str, sources: list) -> str | None:
             os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs):
         return out
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", "-o", out] + srcs
+           "-std=c++17", "-o", out] + [s for s in srcs if s.endswith(".cpp")]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (OSError, subprocess.CalledProcessError):
@@ -43,14 +43,14 @@ def solver_lib():
     if _solver_tried:
         return _solver_lib
     _solver_tried = True
-    path = _ensure_lib("gnark_solver", ["solver_core.cpp"])
+    path = _ensure_lib("gnark_solver", ["solver_core.cpp", "msm_core.cpp", "field_common.h"])
     if path is None:
         return None
     lib = ctypes.CDLL(path)
     for fn in ("gnark_solve_r1cs", "gnark_solve_scs", "gnark_qap_accumulate",
                "gnark_lincomb3", "gnark_powers", "gnark_vecmul",
                "gnark_batch_inv", "gnark_solve_scs", "gnark_vecadd",
-               "gnark_prefix_mul", "gnark_synth_div"):
+               "gnark_prefix_mul", "gnark_synth_div", "gnark_msm"):
         getattr(lib, fn).restype = ctypes.c_int64
     _solver_lib = lib
     return lib

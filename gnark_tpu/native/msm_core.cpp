@@ -1,0 +1,251 @@
+// Host MSM core: windowed Pippenger over generic N x 64-bit Montgomery
+// fields — the prover path for WIDE-field curves (BW6: 761/633-bit fp),
+// where the TPU's 16-bit-limb vector representation pays an O(L^2)
+// penalty that a 64-bit scalar CIOS does not.  (The narrow-field curves
+// BN254/BLS12/BLS24 keep the TPU Pallas/XLA MSM — this file is the
+// native-runtime fallback that makes one-layer recursion's outer prove
+// practical on the host.)  Reference: gnark-crypto MultiExp
+// (ecc/bw6-761/multiexp.go bucket method).
+//
+// Coordinates cross the boundary as [n][N] u64 little-endian REGULAR
+// form; they are converted to Montgomery internally once.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+// reuse the Field<N> arithmetic by inclusion (single-TU build keeps the
+// ctypes surface in one shared object)
+#include "field_common.h"
+
+namespace {
+
+template <int N>
+struct Jac {
+    u64 X[N], Y[N], Z[N];   // Z == 0 encodes infinity
+};
+
+template <int N>
+inline bool jac_is_inf(const Jac<N>& P) {
+    return Field<N>::is_zero(P.Z);
+}
+
+template <int N>
+inline void jac_set_inf(const Field<N>& F, Jac<N>& P) {
+    std::memset(&P, 0, sizeof(P));
+    std::memcpy(P.Y, F.one, sizeof(P.Y));
+}
+
+// dbl-2009-l
+template <int N>
+void jac_double(const Field<N>& F, Jac<N>& P) {
+    if (jac_is_inf(P)) return;
+    u64 A[N], B[N], C[N], D[N], E[N], G[N], t[N], t2[N];
+    F.mmul(P.X, P.X, A);
+    F.mmul(P.Y, P.Y, B);
+    F.mmul(B, B, C);
+    F.add(P.X, B, t);
+    F.mmul(t, t, t);
+    F.sub(t, A, t);
+    F.sub(t, C, t);
+    F.add(t, t, D);                  // D = 2((X+B)^2 - A - C)
+    F.add(A, A, E);
+    F.add(E, A, E);                  // E = 3A
+    F.mmul(E, E, G);
+    F.add(D, D, t2);
+    F.sub(G, t2, t2);                // X3 = G - 2D
+    u64 X3[N];
+    std::memcpy(X3, t2, sizeof(X3));
+    F.sub(D, X3, t);
+    F.mmul(E, t, t);
+    u64 c8[N];
+    F.add(C, C, c8);
+    F.add(c8, c8, c8);
+    F.add(c8, c8, c8);               // 8C
+    F.sub(t, c8, t);                 // Y3
+    u64 Z3[N];
+    F.mmul(P.Y, P.Z, Z3);
+    F.add(Z3, Z3, Z3);
+    std::memcpy(P.X, X3, sizeof(X3));
+    std::memcpy(P.Y, t, sizeof(t));
+    std::memcpy(P.Z, Z3, sizeof(Z3));
+}
+
+// madd-2007-bl: P += (x2, y2) affine (Montgomery form)
+template <int N>
+void jac_add_mixed(const Field<N>& F, Jac<N>& P, const u64* x2,
+                   const u64* y2) {
+    if (jac_is_inf(P)) {
+        std::memcpy(P.X, x2, sizeof(P.X));
+        std::memcpy(P.Y, y2, sizeof(P.Y));
+        std::memcpy(P.Z, F.one, sizeof(P.Z));
+        return;
+    }
+    u64 Z1Z1[N], U2[N], S2[N], H[N], HH[N], I[N], J[N], r[N], V[N], t[N];
+    F.mmul(P.Z, P.Z, Z1Z1);
+    F.mmul(x2, Z1Z1, U2);
+    F.mmul(y2, P.Z, S2);
+    F.mmul(S2, Z1Z1, S2);
+    F.sub(U2, P.X, H);
+    F.sub(S2, P.Y, r);
+    if (Field<N>::is_zero(H)) {
+        if (Field<N>::is_zero(r)) {
+            jac_double(F, P);
+            return;
+        }
+        jac_set_inf(F, P);
+        return;
+    }
+    F.add(r, r, r);                  // r = 2(S2 - Y1)
+    F.mmul(H, H, HH);
+    F.add(HH, HH, I);
+    F.add(I, I, I);                  // I = 4 HH
+    F.mmul(H, I, J);
+    F.mmul(P.X, I, V);
+    u64 X3[N], Y3[N], Z3[N];
+    F.mmul(r, r, X3);
+    F.sub(X3, J, X3);
+    F.sub(X3, V, X3);
+    F.sub(X3, V, X3);
+    F.sub(V, X3, t);
+    F.mmul(r, t, Y3);
+    F.mmul(P.Y, J, t);
+    F.add(t, t, t);
+    F.sub(Y3, t, Y3);
+    F.add(P.Z, H, Z3);
+    F.mmul(Z3, Z3, Z3);
+    F.sub(Z3, Z1Z1, Z3);
+    F.sub(Z3, HH, Z3);
+    std::memcpy(P.X, X3, sizeof(X3));
+    std::memcpy(P.Y, Y3, sizeof(Y3));
+    std::memcpy(P.Z, Z3, sizeof(Z3));
+}
+
+// full Jacobian add: P += Q
+template <int N>
+void jac_add(const Field<N>& F, Jac<N>& P, const Jac<N>& Q) {
+    if (jac_is_inf(Q)) return;
+    if (jac_is_inf(P)) { P = Q; return; }
+    u64 Z1Z1[N], Z2Z2[N], U1[N], U2[N], S1[N], S2[N], H[N], I[N], J[N];
+    u64 r[N], V[N], t[N];
+    F.mmul(P.Z, P.Z, Z1Z1);
+    F.mmul(Q.Z, Q.Z, Z2Z2);
+    F.mmul(P.X, Z2Z2, U1);
+    F.mmul(Q.X, Z1Z1, U2);
+    F.mmul(P.Y, Q.Z, S1);
+    F.mmul(S1, Z2Z2, S1);
+    F.mmul(Q.Y, P.Z, S2);
+    F.mmul(S2, Z1Z1, S2);
+    F.sub(U2, U1, H);
+    F.sub(S2, S1, r);
+    if (Field<N>::is_zero(H)) {
+        if (Field<N>::is_zero(r)) { jac_double(F, P); return; }
+        jac_set_inf(F, P);
+        return;
+    }
+    F.add(r, r, r);
+    u64 HH[N];
+    F.add(H, H, HH);
+    F.mmul(HH, HH, I);
+    F.mmul(H, I, J);
+    F.mmul(U1, I, V);
+    u64 X3[N], Y3[N], Z3[N];
+    F.mmul(r, r, X3);
+    F.sub(X3, J, X3);
+    F.sub(X3, V, X3);
+    F.sub(X3, V, X3);
+    F.sub(V, X3, t);
+    F.mmul(r, t, Y3);
+    F.mmul(S1, J, t);
+    F.add(t, t, t);
+    F.sub(Y3, t, Y3);
+    F.add(P.Z, Q.Z, Z3);
+    F.mmul(Z3, Z3, Z3);
+    F.sub(Z3, Z1Z1, Z3);
+    F.sub(Z3, Z2Z2, Z3);
+    F.mmul(Z3, H, Z3);
+    std::memcpy(P.X, X3, sizeof(X3));
+    std::memcpy(P.Y, Y3, sizeof(Y3));
+    std::memcpy(P.Z, Z3, sizeof(Z3));
+}
+
+template <int N>
+int64_t msm_run(const Field<N>& F, int64_t n,
+                const u64* xs, const u64* ys, const uint8_t* inf,
+                int nlimbs_fr, const u64* scalars, int c,
+                int coords_mont, u64* out_xyz) {
+    const int total_bits = nlimbs_fr * 64;
+    const int nwin = (total_bits + c - 1) / c;
+    const int64_t nb = (int64_t(1) << c) - 1;
+
+    // convert affine inputs to Montgomery once (unless already there)
+    std::vector<u64> mx(n * N), my(n * N);
+    if (coords_mont) {
+        std::memcpy(mx.data(), xs, n * N * sizeof(u64));
+        std::memcpy(my.data(), ys, n * N * sizeof(u64));
+    } else {
+        for (int64_t i = 0; i < n; i++) {
+            F.to_mont(xs + i * N, mx.data() + i * N);
+            F.to_mont(ys + i * N, my.data() + i * N);
+        }
+    }
+
+    std::vector<Jac<N>> buckets(nb);
+    Jac<N> acc;
+    jac_set_inf(F, acc);
+
+    for (int w = nwin - 1; w >= 0; w--) {
+        if (w != nwin - 1)
+            for (int k = 0; k < c; k++) jac_double(F, acc);
+        for (auto& b : buckets) jac_set_inf(F, b);
+        const int bit0 = w * c;
+        for (int64_t i = 0; i < n; i++) {
+            if (inf[i]) continue;
+            // extract c-bit digit from the fr scalar (little-endian u64)
+            const u64* s = scalars + i * nlimbs_fr;
+            int q = bit0 >> 6, sh = bit0 & 63;
+            u64 d = s[q] >> sh;
+            if (sh && q + 1 < nlimbs_fr) d |= s[q + 1] << (64 - sh);
+            d &= (u64(1) << c) - 1;
+            if (d)
+                jac_add_mixed(F, buckets[d - 1], mx.data() + i * N,
+                              my.data() + i * N);
+        }
+        // weighted reduction: running suffix + sum of suffixes
+        Jac<N> run, sum;
+        jac_set_inf(F, run);
+        jac_set_inf(F, sum);
+        for (int64_t b = nb - 1; b >= 0; b--) {
+            jac_add(F, run, buckets[b]);
+            jac_add(F, sum, run);
+        }
+        jac_add(F, acc, sum);
+    }
+    // output (Montgomery Jacobian -> regular form coordinates)
+    F.from_mont(acc.X, out_xyz);
+    F.from_mont(acc.Y, out_xyz + N);
+    F.from_mont(acc.Z, out_xyz + 2 * N);
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// returns 0; out_xyz = [3][N] u64 Jacobian coords, regular form
+int64_t gnark_msm(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, const u64* xs, const u64* ys, const uint8_t* inf,
+    int nlimbs_fr, const u64* scalars, int c, int coords_mont,
+    u64* out_xyz) {
+    switch (nlimbs) {
+#define CASE(NN) case NN: { Field<NN> F; F.init(modulus, r2, one_mont); \
+        return msm_run<NN>(F, n, xs, ys, inf, nlimbs_fr, scalars, c, \
+                           coords_mont, out_xyz); }
+        CASE(4) CASE(5) CASE(6) CASE(8) CASE(10) CASE(12)
+#undef CASE
+        default: return -4;
+    }
+}
+
+}  // extern "C"
