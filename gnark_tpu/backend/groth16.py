@@ -396,6 +396,30 @@ def setup(cs, curve, rng=None, host=False):
             return [None if s % q == 0
                     else host2h.scalar_mul(curve.g2_gen, s % q)
                     for s in as_ints(scalars)]
+    elif curve.fp.L >= 24 and nat.available:
+        # wide-field (BW6) curves: native C fixed-base (the 16-bit-limb
+        # device kernels pay O(L^2) at these widths; see native MSM note
+        # in prove()).  QAP scalars are already [k, N] u64 rows.
+        from gnark_tpu.backend.native_field import native_fixed_base
+
+        def rows_padded(scalars):
+            if isinstance(scalars, np.ndarray):
+                rows = scalars
+            else:
+                rows = nat.pack([s % q for s in scalars])
+            if rows.shape[0] < n_pad:
+                rows = np.concatenate(
+                    [rows, np.zeros((n_pad - rows.shape[0], rows.shape[1]),
+                                    np.uint64)], axis=0)
+            return rows
+
+        def g1_batch(scalars):
+            return native_fixed_base(curve, rows_padded(scalars),
+                                     curve.g1_gen)
+
+        def g2_batch(scalars):
+            return native_fixed_base(curve, rows_padded(scalars),
+                                     curve.g2_gen)
     else:
         K = _CurveKernels(curve)
         fb1 = K.fixed_base_g1(curve.g1_gen)

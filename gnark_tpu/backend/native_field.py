@@ -242,3 +242,34 @@ def native_msm(curve, xs_planes, ys_planes, inf_mask, scalars_planes,
     zinv = pow(Z, -1, p)
     z2 = zinv * zinv % p
     return (X * z2 % p, Y * z2 % p * zinv % p)
+
+
+def native_fixed_base(curve, scalars_rows, base, c: int = 8):
+    """Batch scalar*base on the C core (wide-field setup path).
+
+    scalars_rows: [n, Nr] u64 regular; base: host affine (x, y) ints.
+    Returns (x_planes, y_planes, inf) with coords in MONTGOMERY form,
+    matching the device fixed-base output layout (uint32 planes).
+    """
+    from gnark_tpu.native import solver_lib
+    lib = solver_lib()
+    if lib is None:
+        return None
+    nat_p = nat_for(curve.fp.modulus)
+    nat_r = nat_for(curve.fr.modulus)
+    n = scalars_rows.shape[0]
+    out_x = np.zeros((n, nat_p.N), np.uint64)
+    out_y = np.zeros((n, nat_p.N), np.uint64)
+    out_inf = np.zeros(n, np.uint8)
+    rc = lib.gnark_fixed_base(
+        ctypes.c_int(nat_p.N), nat_p._ptr(nat_p._mod), nat_p._ptr(nat_p._r2),
+        nat_p._ptr(nat_p._one), ctypes.c_int64(n), ctypes.c_int(nat_r.N),
+        nat_r._ptr(np.ascontiguousarray(scalars_rows)),
+        nat_p._ptr(nat_p.pack([base[0]])), nat_p._ptr(nat_p.pack([base[1]])),
+        ctypes.c_int(c), nat_p._ptr(out_x), nat_p._ptr(out_y),
+        out_inf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert rc == 0, rc
+    L16 = curve.fp.L
+    return (nat_p.planes(out_x, L16).astype(np.uint32),
+            nat_p.planes(out_y, L16).astype(np.uint32),
+            out_inf.astype(bool))

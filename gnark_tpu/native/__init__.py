@@ -50,7 +50,7 @@ def solver_lib():
     for fn in ("gnark_solve_r1cs", "gnark_solve_scs", "gnark_qap_accumulate",
                "gnark_lincomb3", "gnark_powers", "gnark_vecmul",
                "gnark_batch_inv", "gnark_solve_scs", "gnark_vecadd",
-               "gnark_prefix_mul", "gnark_synth_div", "gnark_msm"):
+               "gnark_prefix_mul", "gnark_synth_div", "gnark_msm", "gnark_fixed_base"):
         getattr(lib, fn).restype = ctypes.c_int64
     _solver_lib = lib
     return lib

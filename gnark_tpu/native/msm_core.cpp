@@ -228,9 +228,128 @@ int64_t msm_run(const Field<N>& F, int64_t n,
     return 0;
 }
 
+// Montgomery-domain batch inversion of Jacobian Z coords; zeros skip.
+template <int N>
+void batch_inv_mont_z(const Field<N>& F, std::vector<Jac<N>>& pts,
+                      std::vector<u64>& zinv) {
+    const int64_t n = pts.size();
+    std::vector<u64> prefix((n + 1) * N);
+    std::memcpy(prefix.data(), F.one, sizeof(u64) * N);
+    for (int64_t i = 0; i < n; i++) {
+        const u64* z = pts[i].Z;
+        if (Field<N>::is_zero(z))
+            std::memcpy(prefix.data() + (i + 1) * N, prefix.data() + i * N,
+                        sizeof(u64) * N);
+        else
+            F.mmul(prefix.data() + i * N, z, prefix.data() + (i + 1) * N);
+    }
+    u64 treg[N], tinv[N], run[N];
+    F.from_mont(prefix.data() + n * N, treg);
+    F.invmod(treg, tinv);
+    F.to_mont(tinv, run);
+    for (int64_t i = n - 1; i >= 0; i--) {
+        const u64* z = pts[i].Z;
+        if (Field<N>::is_zero(z)) {
+            std::memset(zinv.data() + i * N, 0, sizeof(u64) * N);
+        } else {
+            F.mmul(run, prefix.data() + i * N, zinv.data() + i * N);
+            F.mmul(run, z, run);
+        }
+    }
+}
+
+template <int N>
+int64_t fixed_base_run(const Field<N>& F, int64_t n, int nlimbs_fr,
+                       const u64* scalars, const u64* bx, const u64* by,
+                       int c, u64* out_x, u64* out_y, uint8_t* out_inf) {
+    const int total_bits = nlimbs_fr * 64;
+    const int nwin = (total_bits + c - 1) / c;
+    const int64_t row = (int64_t(1) << c) - 1;
+
+    // window tables: table[w][d-1] = d * 2^(cw) * B, affine Montgomery
+    Jac<N> step;
+    std::memcpy(step.X, bx, sizeof(step.X));
+    std::memcpy(step.Y, by, sizeof(step.Y));
+    std::memcpy(step.Z, F.one, sizeof(step.Z));
+    F.to_mont(bx, step.X);
+    F.to_mont(by, step.Y);
+    std::vector<Jac<N>> table(nwin * row);
+    for (int w = 0; w < nwin; w++) {
+        Jac<N> acc = step;
+        for (int64_t d = 0; d < row; d++) {
+            table[w * row + d] = acc;
+            jac_add(F, acc, step);
+        }
+        for (int k = 0; k < c; k++) jac_double(F, step);
+    }
+    // normalize table to affine for mixed adds
+    std::vector<u64> zinv(table.size() * N);
+    batch_inv_mont_z(F, table, zinv);
+    std::vector<u64> tx(table.size() * N), ty(table.size() * N);
+    for (size_t i = 0; i < table.size(); i++) {
+        u64 z2[N], z3[N];
+        F.mmul(zinv.data() + i * N, zinv.data() + i * N, z2);
+        F.mmul(z2, zinv.data() + i * N, z3);
+        F.mmul(table[i].X, z2, tx.data() + i * N);
+        F.mmul(table[i].Y, z3, ty.data() + i * N);
+    }
+
+    std::vector<Jac<N>> res(n);
+    for (int64_t i = 0; i < n; i++) {
+        Jac<N> acc;
+        jac_set_inf(F, acc);
+        const u64* s = scalars + i * nlimbs_fr;
+        for (int w = 0; w < nwin; w++) {
+            const int bit0 = w * c;
+            int q = bit0 >> 6, sh = bit0 & 63;
+            u64 d = s[q] >> sh;
+            if (sh && q + 1 < nlimbs_fr) d |= s[q + 1] << (64 - sh);
+            d &= (u64(1) << c) - 1;
+            if (d)
+                jac_add_mixed(F, acc, tx.data() + (w * row + d - 1) * N,
+                              ty.data() + (w * row + d - 1) * N);
+        }
+        res[i] = acc;
+    }
+    // batch-normalize results to affine MONTGOMERY coords
+    std::vector<u64> rzinv(n * N);
+    batch_inv_mont_z(F, res, rzinv);
+    for (int64_t i = 0; i < n; i++) {
+        if (jac_is_inf(res[i])) {
+            out_inf[i] = 1;
+            std::memset(out_x + i * N, 0, sizeof(u64) * N);
+            std::memset(out_y + i * N, 0, sizeof(u64) * N);
+            continue;
+        }
+        out_inf[i] = 0;
+        u64 z2[N], z3[N];
+        F.mmul(rzinv.data() + i * N, rzinv.data() + i * N, z2);
+        F.mmul(z2, rzinv.data() + i * N, z3);
+        F.mmul(res[i].X, z2, out_x + i * N);
+        F.mmul(res[i].Y, z3, out_y + i * N);
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// out coords are affine MONTGOMERY form [n][N]; base given regular
+int64_t gnark_fixed_base(
+    int nlimbs, const u64* modulus, const u64* r2, const u64* one_mont,
+    int64_t n, int nlimbs_fr, const u64* scalars,
+    const u64* base_x, const u64* base_y, int c,
+    u64* out_x, u64* out_y, uint8_t* out_inf) {
+    switch (nlimbs) {
+#define CASE(NN) case NN: { Field<NN> F; F.init(modulus, r2, one_mont); \
+        return fixed_base_run<NN>(F, n, nlimbs_fr, scalars, base_x, base_y, \
+                                  c, out_x, out_y, out_inf); }
+        CASE(4) CASE(5) CASE(6) CASE(8) CASE(10) CASE(12)
+#undef CASE
+        default: return -4;
+    }
+}
 
 // returns 0; out_xyz = [3][N] u64 Jacobian coords, regular form
 int64_t gnark_msm(
