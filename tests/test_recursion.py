@@ -181,3 +181,25 @@ def test_glv_scalar_mul_var():
     # ~128 GLV iterations vs 253 ladder steps: constraint count must
     # reflect the halving (ladder version was ~6/bit)
     assert cs.nb_constraints < 2500, cs.nb_constraints
+
+
+@pytest.mark.slow
+def test_outer_proof_end_to_end(inner_proof):
+    """ONE-LAYER RECURSION, outer prove included: the BLS12-377 proof is
+    verified in-circuit over BW6-761 AND the resulting outer BW6-761
+    Groth16 proof is produced and verified (the deliverable of
+    std/groth16_bls12377/verifier_test.go:164).  ~8 min: 92.5k-constraint
+    outer circuit, native setup/MSM cores + device NTT."""
+    import random
+    from gnark_tpu.frontend import schema as schema_mod
+
+    vk_in, proof_in = inner_proof
+    RecursionCircuit.vk = vk_in
+    cs = compile_circuit(RecursionCircuit(), BW6_761)
+    pk, vk = groth16.setup(cs, BW6_761, rng=random.Random(11))
+    a = _assignment(vk_in, proof_in, 35)
+    pub = schema_mod.collect_values(a, "public")
+    sec = schema_mod.collect_values(a, "secret")
+    proof = groth16.prove(cs, pk, pub + sec, rng=random.Random(12))
+    assert groth16.verify(proof, vk, pub)
+    assert not groth16.verify(proof, vk, [36])
