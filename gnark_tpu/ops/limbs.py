@@ -43,36 +43,38 @@ def _propagate(limbs):
     L = x.shape[0]
     zrow = jnp.zeros_like(x[:1])
     # fold multi-bit carries one position up: t_i = (x_i & M) + (x_{i-1} >> W)
-    t = (x & _MASK) + jnp.concatenate([zrow, x[:-1] >> W], axis=0)
-    # binary carries remain: generate/propagate per limb
-    g = t >> W                         # 0/1
-    p = (t & _MASK) == _MASK
+    t = (x & _MASK) + jnp.concatenate([zrow, x[:L - 1] >> W], axis=0)
+    # binary carries remain: generate/propagate per limb (kept in u32 —
+    # i1 vectors trip Mosaic's register-cast lowering)
+    g = t >> W                                      # 0/1
+    p = ((t & _MASK) + jnp.uint32(1)) >> W          # 1 iff t&M == M
     # Kogge-Stone prefix of the carry-lookahead operator along the limb axis
     d = 1
     while d < L:
-        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:-d]], axis=0)
-        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:-d]], axis=0)
+        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:L - d]], axis=0)
+        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:L - d]], axis=0)
         g = g | (p.astype(_U32) * g_sh)
         p = p & p_sh
         d <<= 1
-    cin = jnp.concatenate([zrow, g[:-1]], axis=0)
+    cin = jnp.concatenate([zrow, g[:L - 1]], axis=0)
     out = (t + cin) & _MASK
     # carry out = last fold carry + last lookahead generate
-    carry = (x[-1] >> W) + g[-1]
+    carry = (x[L - 1] >> W) + g[L - 1]
     return out, carry
 
 
 def _lookahead(g, p):
     """Kogge-Stone prefix of the carry/borrow-lookahead operator along
-    axis 0: returns the inclusive scan of g under propagate mask p
-    (log2(L) full-width steps instead of an L-deep ripple)."""
+    axis 0: the inclusive scan of g under propagate mask p (log2(L)
+    full-width steps instead of an L-deep ripple).  g/p are u32 0/1
+    vectors (i1 vectors trip Mosaic's register-cast lowering)."""
     L = g.shape[0]
     d = 1
     while d < L:
-        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:-d]], axis=0)
-        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:-d]], axis=0)
-        g = g | (p.astype(_U32) * g_sh)
-        p = p & p_sh
+        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:L - d]], axis=0)
+        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:L - d]], axis=0)
+        g = g | (p * g_sh)
+        p = p * p_sh
         d <<= 1
     return g
 
@@ -82,12 +84,14 @@ def _borrow_sub(a_limbs, b_limbs):
     Returns (diff canonical, borrow_out 0/1)."""
     t = a_limbs + (_MASK + jnp.uint32(1)) - b_limbs    # in [1, 2^17)
     g = (t >> W) ^ jnp.uint32(1)                       # borrow generated
-    p = (t & _MASK) == 0                               # propagates borrow
+    # propagate iff t&M == 0 (u32 0/1): ((t&M ^ M) + 1) >> W
+    p = (((t & _MASK) ^ _MASK) + jnp.uint32(1)) >> W
     gs = _lookahead(g, p)
+    L = gs.shape[0]
     zrow = jnp.zeros_like(gs[:1])
-    bin_ = jnp.concatenate([zrow, gs[:-1]], axis=0)
+    bin_ = jnp.concatenate([zrow, gs[:L - 1]], axis=0)
     out = (t - bin_) & _MASK
-    return out, gs[-1]
+    return out, gs[L - 1]
 
 
 def _sub_borrow(a, b):
@@ -196,9 +200,10 @@ class FieldOps:
     def _add_p(self, d):
         t = d + _const_planes(self._p_ints, d)
         g = t >> W
-        p = (t & _MASK) == _MASK
+        p = ((t & _MASK) + jnp.uint32(1)) >> W
         gs = _lookahead(g, p)
-        cin = jnp.concatenate([jnp.zeros_like(gs[:1]), gs[:-1]], axis=0)
+        Lg = gs.shape[0]
+        cin = jnp.concatenate([jnp.zeros_like(gs[:1]), gs[:Lg - 1]], axis=0)
         return (t + cin) & _MASK
 
     def add(self, a, b):

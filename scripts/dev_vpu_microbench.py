@@ -45,14 +45,20 @@ def make(op):
 
     dtype = jnp.float32 if op == "fma_f32" else jnp.uint32
 
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(SHAPE, dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    CHAIN = 64
+
     @jax.jit
     def run(x, y):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct(SHAPE, dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(x, y)
+        # chain CHAIN kernel invocations in ONE dispatch so the remote
+        # tunnel's ~1ms per-call latency amortizes away
+        return jax.lax.fori_loop(0, CHAIN, lambda i, a: call(a, y), x)
 
     return run, dtype
 
@@ -75,7 +81,7 @@ def main():
             out = run(x, y)
         np.asarray(out[:1, :1])
         dt = (time.perf_counter() - t0) / iters
-        ops = REPS * SHAPE[0] * SHAPE[1] * (2 if op == "fma_f32" else 1)
+        ops = 64 * REPS * SHAPE[0] * SHAPE[1] * (2 if op == "fma_f32" else 1)
         print(f"{op:10s}: {dt*1e6:8.1f} us -> {ops/dt/1e12:.2f} Tops/s",
               flush=True)
 
