@@ -30,91 +30,54 @@ _MASK = np.uint32(MASK)
 
 
 def _propagate(limbs):
-    """Carry-propagate lazy uint32 columns to canonical 16-bit limbs.
+    """Carry-propagate a list/array of uint32 columns to canonical 16-bit limbs.
 
     Returns (canonical [L, n], carry_out [n]).
-
-    Parallel formulation (vs the naive L-deep ripple, which serializes
-    into L latency-bound [n]-wide ops): one multi-bit carry fold, then a
-    Kogge-Stone carry-lookahead over the limb axis — log2(L) steps of
-    full [L, n]-wide VPU ops.
     """
-    x = limbs if isinstance(limbs, jnp.ndarray) else jnp.stack(list(limbs))
-    L = x.shape[0]
-    zrow = jnp.zeros_like(x[:1])
-    # fold multi-bit carries one position up: t_i = (x_i & M) + (x_{i-1} >> W)
-    t = (x & _MASK) + jnp.concatenate([zrow, x[:L - 1] >> W], axis=0)
-    # binary carries remain: generate/propagate per limb (kept in u32 —
-    # i1 vectors trip Mosaic's register-cast lowering)
-    g = t >> W                                      # 0/1
-    p = ((t & _MASK) + jnp.uint32(1)) >> W          # 1 iff t&M == M
-    # Kogge-Stone prefix of the carry-lookahead operator along the limb axis
-    d = 1
-    while d < L:
-        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:L - d]], axis=0)
-        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:L - d]], axis=0)
-        g = g | (p.astype(_U32) * g_sh)
-        p = p & p_sh
-        d <<= 1
-    cin = jnp.concatenate([zrow, g[:L - 1]], axis=0)
-    out = (t + cin) & _MASK
-    # carry out = last fold carry + last lookahead generate
-    carry = (x[L - 1] >> W) + g[L - 1]
-    return out, carry
-
-
-def _lookahead(g, p):
-    """Kogge-Stone prefix of the carry/borrow-lookahead operator along
-    axis 0: the inclusive scan of g under propagate mask p (log2(L)
-    full-width steps instead of an L-deep ripple).  g/p are u32 0/1
-    vectors (i1 vectors trip Mosaic's register-cast lowering)."""
-    L = g.shape[0]
-    d = 1
-    while d < L:
-        g_sh = jnp.concatenate([jnp.zeros_like(g[:d]), g[:L - d]], axis=0)
-        p_sh = jnp.concatenate([jnp.zeros_like(p[:d]), p[:L - d]], axis=0)
-        g = g | (p * g_sh)
-        p = p * p_sh
-        d <<= 1
-    return g
-
-
-def _borrow_sub(a_limbs, b_limbs):
-    """Generic lookahead subtraction of canonical 16-bit limb planes.
-    Returns (diff canonical, borrow_out 0/1)."""
-    t = a_limbs + (_MASK + jnp.uint32(1)) - b_limbs    # in [1, 2^17)
-    g = (t >> W) ^ jnp.uint32(1)                       # borrow generated
-    # propagate iff t&M == 0 (u32 0/1): ((t&M ^ M) + 1) >> W
-    p = (((t & _MASK) ^ _MASK) + jnp.uint32(1)) >> W
-    gs = _lookahead(g, p)
-    L = gs.shape[0]
-    zrow = jnp.zeros_like(gs[:1])
-    bin_ = jnp.concatenate([zrow, gs[:L - 1]], axis=0)
-    out = (t - bin_) & _MASK
-    return out, gs[L - 1]
+    out = []
+    carry = jnp.zeros_like(limbs[0])
+    for i in range(len(limbs)):
+        v = limbs[i] + carry
+        out.append(v & _MASK)
+        carry = v >> W
+    return jnp.stack(out), carry
 
 
 def _sub_borrow(a, b):
     """a - b over limb planes. Returns (diff [L, n] canonical, borrow [n] 0/1)."""
-    return _borrow_sub(a, b)
-
-
-def _const_planes(c_limbs, ref):
-    """python-int limbs -> [L, 1...] scalar-literal planes broadcastable
-    against `ref` (built per limb from scalars: Pallas-safe)."""
-    shape = (1,) * (ref.ndim - 1)
-    return jnp.stack([jnp.full(shape, int(v), _U32) for v in c_limbs])
+    L = a.shape[0]
+    out = []
+    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
+    for i in range(L):
+        d = a[i].astype(jnp.int32) - b[i].astype(jnp.int32) - borrow
+        out.append((d & jnp.int32(MASK)).astype(_U32))
+        borrow = (d < 0).astype(jnp.int32)
+    return jnp.stack(out), borrow
 
 
 def _sub_const_borrow(a, c_limbs):
     """a - const over limb planes, const given as python-int limbs.
     Scalar literals (no captured arrays) keep kernels Pallas-lowerable."""
-    return _borrow_sub(a, _const_planes(c_limbs, a))
+    L = a.shape[0]
+    out = []
+    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
+    for i in range(L):
+        d = a[i].astype(jnp.int32) - jnp.int32(int(c_limbs[i])) - borrow
+        out.append((d & jnp.int32(MASK)).astype(_U32))
+        borrow = (d < 0).astype(jnp.int32)
+    return jnp.stack(out), borrow
 
 
 def _rsub_const_borrow(c_limbs, a):
     """const - a over limb planes (for negation)."""
-    return _borrow_sub(_const_planes(c_limbs, a), a)
+    L = a.shape[0]
+    out = []
+    borrow = jnp.zeros(a.shape[1:], dtype=jnp.int32)
+    for i in range(L):
+        d = jnp.int32(int(c_limbs[i])) - a[i].astype(jnp.int32) - borrow
+        out.append((d & jnp.int32(MASK)).astype(_U32))
+        borrow = (d < 0).astype(jnp.int32)
+    return jnp.stack(out), borrow
 
 
 def _const_for(c, ndim):
@@ -198,13 +161,13 @@ class FieldOps:
         return jnp.where((borrow == 0)[None], diff, x)
 
     def _add_p(self, d):
-        t = d + _const_planes(self._p_ints, d)
-        g = t >> W
-        p = ((t & _MASK) + jnp.uint32(1)) >> W
-        gs = _lookahead(g, p)
-        Lg = gs.shape[0]
-        cin = jnp.concatenate([jnp.zeros_like(gs[:1]), gs[:Lg - 1]], axis=0)
-        return (t + cin) & _MASK
+        out = []
+        carry = jnp.zeros(d.shape[1:], _U32)
+        for i in range(self.L):
+            v = d[i] + jnp.uint32(self._p_ints[i]) + carry
+            out.append(v & _MASK)
+            carry = v >> W
+        return jnp.stack(out)
 
     def add(self, a, b):
         s, _ = _propagate(a + b)  # inputs < p < 2^(16L) so no carry out
