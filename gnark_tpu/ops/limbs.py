@@ -267,38 +267,21 @@ class FieldOps:
 
         return jax.lax.fori_loop(0, L, body, acc0)
 
-    def mul(self, a, b):
-        """Montgomery product aR * bR -> abR mod p (separated REDC).
-
-        t = a*b; m = (t mod R) * (-p^{-1} mod R) mod R; u = (t + m*p) / R.
-        u < 2p for canonical inputs, one conditional subtract finishes.
-        """
+    def _redc(self, t):
+        """Wide product columns -> canonical Montgomery-reduced value."""
         L = self.L
-        a, b = jnp.broadcast_arrays(a, b)
-
-        if self._big:
-            t = self._mul_wide_scan(a, b)
-            t_low, c_low = _propagate(t[:L])
-            m = self._mul_wide_const_scan(t_low, self._pinv_ints)
-            m, _ = _propagate(m[:L])
-            mp = self._mul_wide_const_scan(m, self._p_ints)
-            _, carry = _propagate(t_low + mp[:L])
-            high = t[L:2 * L] + mp[L:2 * L]
-            high = jnp.concatenate(
-                [(high[0] + c_low + carry)[None], high[1:]], axis=0)
-            res, _ = _propagate(high[:L])
-            return self._cond_sub_p(res)
-
-        t = self._mul_wide(a, b)                       # [2L+1, ...]
+        big = self._big
         t_low, c_low = _propagate(t[:L])               # canonical t mod R
-        m = self._mul_wide_const(t_low, self._pinv_ints)
+        m = (self._mul_wide_const_scan(t_low, self._pinv_ints) if big
+             else self._mul_wide_const(t_low, self._pinv_ints))
         m, _ = _propagate(m[:L])                       # m mod R, canonical
-        mp = self._mul_wide_const(m, self._p_ints)
+        mp = (self._mul_wide_const_scan(m, self._p_ints) if big
+              else self._mul_wide_const(m, self._p_ints))
 
         # u = (t + m*p)/R: low L columns of t+m*p are ≡ 0 mod R by
         # construction; all we need from them is their carry-out.
         _, carry = _propagate(t_low + mp[:L])
-        high = t[L:] + mp[L:]
+        high = t[L:2 * L] + mp[L:2 * L]
         # (concatenate, not .at[].add: scatter has no Pallas TPU lowering)
         high = jnp.concatenate(
             [(high[0] + c_low + carry)[None], high[1:]], axis=0)
@@ -306,8 +289,42 @@ class FieldOps:
         # t + m*p < p^2 + R*p => u < 2p < R: top column provably empty.
         return self._cond_sub_p(res)
 
+    def mul(self, a, b):
+        """Montgomery product aR * bR -> abR mod p (separated REDC).
+
+        t = a*b; m = (t mod R) * (-p^{-1} mod R) mod R; u = (t + m*p) / R.
+        u < 2p for canonical inputs, one conditional subtract finishes.
+        """
+        a, b = jnp.broadcast_arrays(a, b)
+        t = self._mul_wide_scan(a, b) if self._big else self._mul_wide(a, b)
+        return self._redc(t)
+
+    def _sqr_wide(self, a):
+        """Symmetric schoolbook squaring: L(L+1)/2 limb products instead
+        of L^2 (off-diagonal terms doubled after the lo/hi split, keeping
+        every column below the 2^22 lazy bound)."""
+        L = self.L
+        tail_pad = ((0, 0),) * (a.ndim - 1)
+        cols = None
+        two = jnp.uint32(2)
+        for i in range(L):
+            prod = a[i][None] * a[i:]                  # rows j = i..L-1
+            lo = prod & _MASK
+            hi = prod >> W
+            # double all off-diagonal rows (j > i)
+            lo = jnp.concatenate([lo[:1], lo[1:] * two], axis=0)
+            hi = jnp.concatenate([hi[:1], hi[1:] * two], axis=0)
+            # row block occupies columns [2i, i+L) (lo), [2i+1, i+L+1) (hi)
+            lo = jnp.pad(lo, ((2 * i, L + 1 - i),) + tail_pad)
+            hi = jnp.pad(hi, ((2 * i + 1, L - i),) + tail_pad)
+            contrib = lo + hi
+            cols = contrib if cols is None else cols + contrib
+        return cols
+
     def sqr(self, a):
-        return self.mul(a, a)
+        if self._big:
+            return self.mul(a, a)
+        return self._redc(self._sqr_wide(a))
 
     # -- predicates ----------------------------------------------------------
 

@@ -404,6 +404,141 @@ class MSM:
             scratch_shapes=[scratch, scratch, scratch],
         )(sx, sy)
 
+    def _lane_offsets_pallas(self, totals, nw):
+        """Exclusive lane-offset scan as ONE VMEM-resident Pallas kernel:
+        Hillis-Steele over the R lane axis with full EC adds — the whole
+        [L, nw, R] batch (~6 MB) lives in VMEM for all log2(R) steps
+        (the XLA version round-trips HBM per step: measured 95 ms vs
+        the ~4 M muls of actual work)."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        G, F = self.G, self.G.F
+        R = self.R
+        L = totals[0].shape[0]
+        steps = max(1, (R - 1).bit_length())
+        # pad the window axis to a multiple of 8 (Mosaic sublane tiling)
+        nw8 = -(-nw // 8) * 8
+        if nw8 != nw:
+            totals = tuple(
+                jnp.pad(a, ((0, 0), (0, nw8 - nw), (0, 0))) for a in totals)
+
+        def kernel(tx, ty, tz, ox, oy, oz):
+            X, Y, Z = tx[:], ty[:], tz[:]
+            for i in range(steps):
+                s = 1 << i
+                Qx = jnp.concatenate([X[..., R - s:], X[..., :R - s]], axis=-1)
+                Qy = jnp.concatenate([Y[..., R - s:], Y[..., :R - s]], axis=-1)
+                Qz = jnp.concatenate([Z[..., R - s:], Z[..., :R - s]], axis=-1)
+                idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+                Qz = jnp.where(idx >= s, Qz, 0)
+                X, Y, Z = G.add((X, Y, Z), (Qx, Qy, Qz))
+            # exclusive shift by one lane; lane 0 = identity (Z = 0)
+            ox[:] = jnp.concatenate([X[..., R - 1:], X[..., :R - 1]], axis=-1)
+            oy[:] = jnp.concatenate([Y[..., R - 1:], Y[..., :R - 1]], axis=-1)
+            z0 = jnp.concatenate([Z[..., R - 1:], Z[..., :R - 1]], axis=-1)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+            oz[:] = jnp.where(idx >= 1, z0, 0)
+
+        WB = 8
+        shape = jax.ShapeDtypeStruct((L, nw8, R), jnp.uint32)
+        spec = pl.BlockSpec((L, WB, R), lambda w: (0, w, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nw8 // WB,),
+            out_shape=(shape, shape, shape),
+            in_specs=[spec] * 3,
+            out_specs=(spec, spec, spec),
+        )(*totals)
+        return tuple(a[:, :nw] for a in out)
+
+    def _weighted_sum_pallas(self, buckets, nw):
+        """S_w = sum_b (b+1) * bucket_b for each window, fully in VMEM:
+        suffix roll-scan over the (padded) bucket axis + a final
+        reduction, writing one point per window (lane 0)."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        G = self.G
+        nb = (1 << self.c) - 1
+        nbp = -(-nb // 128) * 128
+        L = buckets[0].shape[0]
+        nw8 = -(-nw // 8) * 8
+        buckets = tuple(
+            jnp.pad(a, ((0, 0), (0, nw8 - nw), (0, nbp - nb)))
+            for a in buckets)
+        steps = max(1, (nbp - 1).bit_length())
+
+        def kernel(bx, by, bz, ox, oy, oz):
+            X, Y, Z = bx[:], by[:], bz[:]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nbp), 2)
+            # suffix inclusive scan (reverse): bucket b accumulates b..nb
+            for i in range(steps):
+                s = 1 << i
+                Qx = jnp.concatenate([X[..., s:], X[..., :s]], axis=-1)
+                Qy = jnp.concatenate([Y[..., s:], Y[..., :s]], axis=-1)
+                Qz = jnp.concatenate([Z[..., s:], Z[..., :s]], axis=-1)
+                Qz = jnp.where(idx < nbp - s, Qz, 0)
+                X, Y, Z = G.add((X, Y, Z), (Qx, Qy, Qz))
+            # S = sum over lanes of the suffix values = another scan; take
+            # the full prefix sum and read lane 0's total via reduction
+            for i in range(steps):
+                s = 1 << i
+                Qx = jnp.concatenate([X[..., s:], X[..., :s]], axis=-1)
+                Qy = jnp.concatenate([Y[..., s:], Y[..., :s]], axis=-1)
+                Qz = jnp.concatenate([Z[..., s:], Z[..., :s]], axis=-1)
+                Qz = jnp.where(idx < nbp - s, Qz, 0)
+                X, Y, Z = G.add((X, Y, Z), (Qx, Qy, Qz))
+            ox[:], oy[:], oz[:] = X, Y, Z
+
+        WB = 8
+        shape = jax.ShapeDtypeStruct((L, nw8, nbp), jnp.uint32)
+        spec = pl.BlockSpec((L, WB, nbp), lambda w: (0, w, 0),
+                            memory_space=pltpu.VMEM)
+        X, Y, Z = pl.pallas_call(
+            kernel,
+            grid=(nw8 // WB,),
+            out_shape=(shape, shape, shape),
+            in_specs=[spec] * 3,
+            out_specs=(spec, spec, spec),
+        )(*buckets)
+        # lane 0 now holds sum_{b} suffix_b = sum_b (b+1) * bucket_b
+        return tuple(a[:, :nw, 0:1] for a in (X, Y, Z))
+
+    def _horner_fold_pallas(self, S):
+        """Horner fold over windows in ONE kernel: ~nwin*(c+1) point ops
+        on [L, 128] vectors (lane 0 live) — replaces a few hundred tiny
+        dispatch-bound XLA ops on [L, 1] tensors."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        G = self.G
+        nwin, c = self.nwin, self.c
+        L = S[0].shape[0]
+        nw8 = -(-nwin // 8) * 8
+        Sp = tuple(jnp.pad(a, ((0, 0), (0, nw8 - nwin), (0, 127)))
+                   for a in S)
+
+        def kernel(sx, sy, sz, ox, oy, oz):
+            acc = (sx[:, nwin - 1, :], sy[:, nwin - 1, :],
+                   sz[:, nwin - 1, :])
+            for w in range(nwin - 2, -1, -1):
+                for _ in range(c):
+                    acc = G.double(acc)
+                acc = G.add(acc, (sx[:, w, :], sy[:, w, :], sz[:, w, :]))
+            ox[:], oy[:], oz[:] = acc
+
+        shape = jax.ShapeDtypeStruct((L, 128), jnp.uint32)
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        X, Y, Z = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape, shape),
+            in_specs=[spec] * 3,
+            out_specs=(spec, spec, spec),
+        )(*Sp)
+        return (X[:, :1], Y[:, :1], Z[:, :1])
+
     def _run_window_pallas(self, xs, ys, inf_mask, scalars):
         G, F = self.G, self.G.F
         n, n_pad, R, C, c = self.n, self.n_pad, self.R, self.C, self.c
@@ -441,12 +576,11 @@ class MSM:
 
             prefix = self._leaf_prefix_pallas(sx, sy, nw)
 
-            # lane totals [L, nw, R] -> exclusive lane offsets
+            # lane totals [L, nw, R] -> exclusive lane offsets (Pallas:
+            # whole batch VMEM-resident across the log2(R) scan steps)
             totals = tuple(
                 jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
-            incl = _roll_scan(G, totals, R)
-            offs = tuple(jnp.roll(a, 1, axis=-1) for a in incl)
-            offs = (offs[0], offs[1], offs[2].at[..., 0].set(0))
+            offs = self._lane_offsets_pallas(totals, nw)
 
             # flat within-lane prefixes [L, nw, C*R], index j = cstep*R + r
             flat = tuple(
@@ -471,21 +605,13 @@ class MSM:
 
             buckets = G.add(prefix_total(ends), G.neg(prefix_total(starts)))
 
-            # S_w = sum_b b * bucket_b = sum of suffix sums
-            suffix = _roll_scan(G, buckets, nb, reverse=True)
-            S_parts.append(_reduce(G, suffix, nb))        # [L, nw, 1]
+            # S_w = sum_b b * bucket_b (Pallas: suffix scan + reduction
+            # with the bucket batch VMEM-resident)
+            S_parts.append(self._weighted_sum_pallas(buckets, nw))
 
         S = tuple(jnp.concatenate([p[k] for p in S_parts], axis=1)
                   for k in range(3))
-
-        def fold(T, S_w):
-            T = jax.lax.fori_loop(0, c, lambda _, A: G.double(A), T)
-            return G.add(T, S_w), None
-
-        top = tuple(a[:, -1, :] for a in S)
-        rest = tuple(jnp.moveaxis(a[:, -2::-1, :], 1, 0) for a in S)
-        T, _ = jax.lax.scan(fold, top, rest)
-        return T
+        return self._horner_fold_pallas(S)
 
 
 @functools.lru_cache(maxsize=None)
