@@ -43,7 +43,7 @@ def main():
     n = 1 << 16
     curve = BN254
     fp = field_ops(curve.fp)
-    G = CurveOps(fp)
+    G = CurveOps(fp, b=curve.b)
     host = curve.host_g1
 
     # points: random multiples of the generator via doubling chain (host,

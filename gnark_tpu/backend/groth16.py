@@ -216,8 +216,9 @@ class _CurveKernels:
                 self.fp2 = fpk_ops(curve.fp, 4, curve.g2_tower_c)
             else:
                 self.fp2 = fp2_ops(curve.fp, curve.fp2_beta)
-            self.g1 = CurveOps(self.fp)
-            self.g2 = CurveOps(self.fp2)
+            self.g1 = CurveOps(self.fp, b=curve.b)
+            g2_b = curve.b2 if getattr(curve, "g2_tower_k", 2) != 4 else None
+            self.g2 = CurveOps(self.fp2, b=g2_b)
             self._fb = {}
             cls._cache[curve.name] = self
         return cls._cache[curve.name]

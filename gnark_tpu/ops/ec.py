@@ -19,8 +19,11 @@ import jax.numpy as jnp
 class CurveOps:
     """EC group ops bound to a field-ops object F (FieldOps or Fp2Ops)."""
 
-    def __init__(self, F):
+    def __init__(self, F, b=None):
         self.F = F
+        # curve coefficient (int for fp, (c0, c1) for fp2): lets the MSM
+        # build complete-formula ops (ops/ec_complete.py) when known
+        self.b = b
 
     # -- constructors --------------------------------------------------------
 

@@ -311,9 +311,12 @@ class FieldOps:
             prod = a[i][None] * a[i:]                  # rows j = i..L-1
             lo = prod & _MASK
             hi = prod >> W
-            # double all off-diagonal rows (j > i)
-            lo = jnp.concatenate([lo[:1], lo[1:] * two], axis=0)
-            hi = jnp.concatenate([hi[:1], hi[1:] * two], axis=0)
+            # double all off-diagonal rows (j > i); guard the final
+            # single-row (diagonal-only) block: empty slices make Mosaic
+            # reject 0-sized vectors
+            if prod.shape[0] > 1:
+                lo = jnp.concatenate([lo[:1], lo[1:] * two], axis=0)
+                hi = jnp.concatenate([hi[:1], hi[1:] * two], axis=0)
             # row block occupies columns [2i, i+L) (lo), [2i+1, i+L+1) (hi)
             lo = jnp.pad(lo, ((2 * i, L + 1 - i),) + tail_pad)
             hi = jnp.pad(hi, ((2 * i + 1, L - i),) + tail_pad)

@@ -122,7 +122,12 @@ class MSM:
             self._fn = jax.jit(self._impl)
             return
         total_bits = scalar_limbs * 16
+        if method == "window_pallas" and getattr(G, "b", None) is None:
+            # complete-formula ops need the curve coefficient
+            method = "window"
         if method == "window_pallas":
+            from gnark_tpu.ops.ec_complete import CompleteOps
+            self.GC = CompleteOps(G.F, G.b)
             if lanes is None:
                 lanes = 512          # VMEM tile width of the leaf kernel
             if c is None:
@@ -370,7 +375,7 @@ class MSM:
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        G, F = self.G, self.G.F
+        GC, F = self.GC, self.G.F
         L, C, R, T = sx.shape[2], self.C, self.R, self.TILER
 
         def kernel(x_ref, y_ref, ox, oy, oz, ax, ay, az):
@@ -387,7 +392,7 @@ class MSM:
             pinf = (yr[0, :] >> jnp.uint32(16)) != 0
             py = jnp.concatenate(
                 [yr[0:1] & jnp.uint32(0xFFFF), yr[1:]], axis=0)
-            acc = G.add_mixed((ax[:], ay[:], az[:]), (px, py), pinf)
+            acc = GC.add_mixed((ax[:], ay[:], az[:]), (px, py), pinf)
             ax[:], ay[:], az[:] = acc
             ox[0, 0], oy[0, 0], oz[0, 0] = acc
 
@@ -413,7 +418,7 @@ class MSM:
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        G, F = self.G, self.G.F
+        GC, F = self.GC, self.G.F
         R = self.R
         L = totals[0].shape[0]
         steps = max(1, (R - 1).bit_length())
@@ -425,20 +430,29 @@ class MSM:
 
         def kernel(tx, ty, tz, ox, oy, oz):
             X, Y, Z = tx[:], ty[:], tz[:]
+            WBk = X.shape[1]
+            one = F.ones((WBk, R))
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
             for i in range(steps):
                 s = 1 << i
                 Qx = jnp.concatenate([X[..., R - s:], X[..., :R - s]], axis=-1)
                 Qy = jnp.concatenate([Y[..., R - s:], Y[..., :R - s]], axis=-1)
                 Qz = jnp.concatenate([Z[..., R - s:], Z[..., :R - s]], axis=-1)
-                idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
-                Qz = jnp.where(idx >= s, Qz, 0)
-                X, Y, Z = G.add((X, Y, Z), (Qx, Qy, Qz))
-            # exclusive shift by one lane; lane 0 = identity (Z = 0)
-            ox[:] = jnp.concatenate([X[..., R - 1:], X[..., :R - 1]], axis=-1)
-            oy[:] = jnp.concatenate([Y[..., R - 1:], Y[..., :R - 1]], axis=-1)
+                # rolled-in lanes -> the identity CLASS (0 : 1 : 0): the
+                # complete formulas need X = 0 and Y != 0, not just Z = 0
+                v = idx >= s
+                Qx = jnp.where(v, Qx, 0)
+                Qy = jnp.where(v, Qy, one)
+                Qz = jnp.where(v, Qz, 0)
+                X, Y, Z = GC.add((X, Y, Z), (Qx, Qy, Qz))
+            # exclusive shift by one lane; lane 0 = identity
+            x0 = jnp.concatenate([X[..., R - 1:], X[..., :R - 1]], axis=-1)
+            y0 = jnp.concatenate([Y[..., R - 1:], Y[..., :R - 1]], axis=-1)
             z0 = jnp.concatenate([Z[..., R - 1:], Z[..., :R - 1]], axis=-1)
-            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
-            oz[:] = jnp.where(idx >= 1, z0, 0)
+            v = idx >= 1
+            ox[:] = jnp.where(v, x0, 0)
+            oy[:] = jnp.where(v, y0, one)
+            oz[:] = jnp.where(v, z0, 0)
 
         WB = 8
         shape = jax.ShapeDtypeStruct((L, nw8, R), jnp.uint32)
@@ -470,26 +484,27 @@ class MSM:
             for a in buckets)
         steps = max(1, (nbp - 1).bit_length())
 
+        GC = self.GC
+        F = self.G.F
+
         def kernel(bx, by, bz, ox, oy, oz):
             X, Y, Z = bx[:], by[:], bz[:]
+            WBk = X.shape[1]
+            one = F.ones((WBk, nbp))
             idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nbp), 2)
-            # suffix inclusive scan (reverse): bucket b accumulates b..nb
-            for i in range(steps):
-                s = 1 << i
-                Qx = jnp.concatenate([X[..., s:], X[..., :s]], axis=-1)
-                Qy = jnp.concatenate([Y[..., s:], Y[..., :s]], axis=-1)
-                Qz = jnp.concatenate([Z[..., s:], Z[..., :s]], axis=-1)
-                Qz = jnp.where(idx < nbp - s, Qz, 0)
-                X, Y, Z = G.add((X, Y, Z), (Qx, Qy, Qz))
-            # S = sum over lanes of the suffix values = another scan; take
-            # the full prefix sum and read lane 0's total via reduction
-            for i in range(steps):
-                s = 1 << i
-                Qx = jnp.concatenate([X[..., s:], X[..., :s]], axis=-1)
-                Qy = jnp.concatenate([Y[..., s:], Y[..., :s]], axis=-1)
-                Qz = jnp.concatenate([Z[..., s:], Z[..., :s]], axis=-1)
-                Qz = jnp.where(idx < nbp - s, Qz, 0)
-                X, Y, Z = G.add((X, Y, Z), (Qx, Qy, Qz))
+            # two suffix scans: scan1 gives suffix sums; scan2 sums them
+            # (lane 0 ends with sum_b (b+1) * bucket_b)
+            for _ in range(2):
+                for i in range(steps):
+                    s = 1 << i
+                    Qx = jnp.concatenate([X[..., s:], X[..., :s]], axis=-1)
+                    Qy = jnp.concatenate([Y[..., s:], Y[..., :s]], axis=-1)
+                    Qz = jnp.concatenate([Z[..., s:], Z[..., :s]], axis=-1)
+                    v = idx < nbp - s
+                    Qx = jnp.where(v, Qx, 0)
+                    Qy = jnp.where(v, Qy, one)
+                    Qz = jnp.where(v, Qz, 0)
+                    X, Y, Z = GC.add((X, Y, Z), (Qx, Qy, Qz))
             ox[:], oy[:], oz[:] = X, Y, Z
 
         WB = 8
@@ -513,7 +528,7 @@ class MSM:
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        G = self.G
+        GC = self.GC
         nwin, c = self.nwin, self.c
         L = S[0].shape[0]
         nw8 = -(-nwin // 8) * 8
@@ -525,8 +540,8 @@ class MSM:
                    sz[:, nwin - 1, :])
             for w in range(nwin - 2, -1, -1):
                 for _ in range(c):
-                    acc = G.double(acc)
-                acc = G.add(acc, (sx[:, w, :], sy[:, w, :], sz[:, w, :]))
+                    acc = GC.double(acc)
+                acc = GC.add(acc, (sx[:, w, :], sy[:, w, :], sz[:, w, :]))
             ox[:], oy[:], oz[:] = acc
 
         shape = jax.ShapeDtypeStruct((L, 128), jnp.uint32)
@@ -600,10 +615,15 @@ class MSM:
                 P = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
                 lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
                 O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
-                T = G.add(P, O)
-                return (T[0], T[1], jnp.where((i >= 0)[None], T[2], 0))
+                T = self.GC.add(P, O)
+                # empty segments (i < 0) -> identity CLASS: X = Z = 0
+                # (completeness only needs Y != 0, which a real point has)
+                valid = (i >= 0)[None]
+                return (jnp.where(valid, T[0], 0), T[1],
+                        jnp.where(valid, T[2], 0))
 
-            buckets = G.add(prefix_total(ends), G.neg(prefix_total(starts)))
+            buckets = self.GC.add(prefix_total(ends),
+                                  self.GC.neg(prefix_total(starts)))
 
             # S_w = sum_b b * bucket_b (Pallas: suffix scan + reduction
             # with the bucket batch VMEM-resident)
@@ -611,7 +631,9 @@ class MSM:
 
         S = tuple(jnp.concatenate([p[k] for p in S_parts], axis=1)
                   for k in range(3))
-        return self._horner_fold_pallas(S)
+        # Horner fold in projective; convert to the Jacobian convention
+        # the rest of the stack (to_affine etc) consumes
+        return self.GC.to_jacobian(self._horner_fold_pallas(S))
 
 
 @functools.lru_cache(maxsize=None)

@@ -13,7 +13,7 @@ which = sys.argv[1] if len(sys.argv) > 1 else "leaf"
 log2n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 n = 1 << log2n
 fp = field_ops(BN254.fp)
-G = CurveOps(fp)
+G = CurveOps(fp, b=curve.b)
 plan = MSM(G, n, BN254.fr.L, method="window_pallas")
 cc, R, C, nwin, L = plan.c, plan.R, plan.C, plan.nwin, BN254.fp.L
 print(f"plan c={cc} nwin={nwin} R={R} C={C}", flush=True)

@@ -40,7 +40,7 @@ def main():
     n = 1 << log2n
     curve = BN254
     fp = field_ops(curve.fp)
-    G = CurveOps(fp)
+    G = CurveOps(fp, b=curve.b)
     host = curve.host_g1
 
     import random
