@@ -479,9 +479,16 @@ class MSM:
         nbp = -(-nb // 128) * 128
         L = buckets[0].shape[0]
         nw8 = -(-nw // 8) * 8
-        buckets = tuple(
+        bX, bY, bZ = (
             jnp.pad(a, ((0, 0), (0, nw8 - nw), (0, nbp - nb)))
             for a in buckets)
+        # padded BUCKET lanes participate in the scans: they must be the
+        # identity CLASS (0 : 1 : 0) — zero-padded Y breaks completeness
+        if nbp != nb:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nbp), 2)
+            one = self.G.F.ones((1, 1))
+            bY = jnp.where(lane < nb, bY, one)
+        buckets = (bX, bY, bZ)
         steps = max(1, (nbp - 1).bit_length())
 
         GC = self.GC
