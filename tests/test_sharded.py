@@ -64,3 +64,45 @@ def test_sharded_matches_single_chip(setup_points):
     G = CurveOps(fp)
     single = msm(G, xs, ys, inf, sc)
     assert _to_host_affine(curve, fp, single) == expected
+
+
+@pytest.mark.slow
+def test_mesh_prove_matches_single_chip():
+    """groth16.prove(mesh=...) — sharded 4-step NTT quotient + sharded
+    MSMs — must produce byte-identical proofs to the single-chip path
+    (same rng).  Goldilocks-field dryrun curve, 8-device CPU mesh."""
+    import random
+
+    import importlib.util
+    spec_ = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    graft = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(graft)
+
+    from gnark_tpu.backend import groth16
+    from gnark_tpu.frontend.compile import compile_circuit
+    from gnark_tpu.frontend.schema import Circuit, Public, Secret
+
+    curve = graft._dryrun_curve()
+    q = curve.fr.modulus
+    DEPTH = 63
+
+    class Chain(Circuit):
+        x = Secret()
+        out = Public()
+
+        def define(self, api):
+            v = self.x
+            for _ in range(DEPTH):
+                v = api.mul(v, v)
+            api.assert_is_equal(v, self.out)
+
+    cs = compile_circuit(Chain(), curve)
+    pk = groth16.dummy_setup(cs, curve)
+    witness = [pow(3, pow(2, DEPTH, q - 1), q), 3]
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("shard",))
+    p1 = groth16.prove(cs, pk, witness, rng=random.Random(5), check=True)
+    p2 = groth16.prove(cs, pk, witness, rng=random.Random(5), check=True,
+                       mesh=mesh, mesh_axis="shard")
+    assert p1.ar == p2.ar and p1.bs == p2.bs and p1.krs == p2.krs
