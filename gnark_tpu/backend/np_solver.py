@@ -288,3 +288,212 @@ def solve_np(cs, witness_values, *, check: bool = True):
         cv[:, lvl.rows] = c_row
 
     return values, av, bv, cv
+
+
+# ---- SCS (PLONK gate) leveled vector solve --------------------------------
+
+
+@dataclasses.dataclass
+class _ScsLevel:
+    rows: np.ndarray          # gate ids
+    wl: np.ndarray            # slot wires (-1 = none)
+    wr: np.ndarray
+    wo: np.ndarray
+    qlm: np.ndarray           # [L, nrow] Montgomery coeffs
+    qrm: np.ndarray
+    qmm: np.ndarray
+    qom: np.ndarray
+    qcr: np.ndarray           # [L, nrow] regular qC
+    unk: np.ndarray           # unknown slot: -1 none, 0/1/2
+    hint_ids: list
+
+
+@dataclasses.dataclass
+class ScsPlan:
+    field: NpField
+    levels: list
+    nb_in: int
+
+
+def build_scs_plan(cs):
+    """Leveled plan for the PLONK gate system (consumes the compile-time
+    SCS level schedule — the buildLevels output VERDICT r1 asked for)."""
+    if not getattr(cs, "levels", None):
+        return None
+    q = cs.field_modulus
+    F = np_field(spec_for_modulus(q))
+    nb_in = cs.nb_public + cs.nb_secret
+    cmont = F.pack(list(cs.coeffs), mont=True)
+    creg = F.pack(list(cs.coeffs))
+
+    solved = np.zeros(cs.nb_wires, bool)
+    solved[:nb_in] = True
+    hint_done = [False] * len(cs.hints)
+
+    def hint_closure(widx, acc):
+        h = cs.wire_to_hint.get(widx)
+        if h is None or hint_done[h]:
+            return
+        hint_done[h] = True
+        for lc in cs.hints[h].inputs:
+            for iw, _ in lc:
+                if iw >= 0 and not solved[iw]:
+                    hint_closure(iw, acc)
+        acc.append(h)
+        for ow in cs.hints[h].out_wires:
+            solved[ow] = True
+
+    levels = []
+    for lvl_rows in cs.levels:
+        rows = np.asarray(lvl_rows, np.int64)
+        hint_ids = []
+        unk = np.full(len(rows), -1, np.int8)
+        newly = []
+        for ri, ci in enumerate(lvl_rows):
+            slots = (int(cs.wires_l[ci]), int(cs.wires_r[ci]),
+                     int(cs.wires_o[ci]))
+            unknown = None
+            for si, w in enumerate(slots):
+                if w >= 0 and not solved[w]:
+                    if w in cs.wire_to_hint:
+                        hint_closure(w, hint_ids)
+                    elif unknown is not None:
+                        return None
+                    else:
+                        unknown = si
+            if unknown is not None:
+                if unknown < 2 and slots[0] == slots[1]:
+                    return None          # quadratic in unknown
+                unk[ri] = unknown
+                newly.append(slots[unknown])
+        for w in newly:
+            solved[w] = True
+
+        def col(ids):
+            return np.ascontiguousarray(
+                cmont[:, np.asarray(ids, np.int64)[rows]])
+
+        levels.append(_ScsLevel(
+            rows=rows,
+            wl=np.asarray(cs.wires_l, np.int64)[rows],
+            wr=np.asarray(cs.wires_r, np.int64)[rows],
+            wo=np.asarray(cs.wires_o, np.int64)[rows],
+            qlm=col(cs.q_l), qrm=col(cs.q_r), qmm=col(cs.q_m),
+            qom=col(cs.q_o),
+            qcr=np.ascontiguousarray(
+                creg[:, np.asarray(cs.q_c, np.int64)[rows]]),
+            unk=unk, hint_ids=hint_ids))
+    return ScsPlan(field=F, levels=levels, nb_in=nb_in)
+
+
+def _scs_plan_of(cs):
+    if not hasattr(cs, "_np_scs_plan"):
+        cs._np_scs_plan = build_scs_plan(cs)
+    return cs._np_scs_plan
+
+
+def solve_scs_np(cs, witness_values, *, check: bool = True):
+    """Leveled vector solve of the PLONK gate system; returns
+    (values, l, r, o) limb planes or None (no plan)."""
+    from gnark_tpu.backend.solver import UnsatisfiedConstraintError
+
+    plan = _scs_plan_of(cs)
+    if plan is None:
+        return None
+    F = plan.field
+    q = cs.field_modulus
+    nb_in = plan.nb_in
+    if len(witness_values) != nb_in:
+        raise ValueError(
+            f"witness has {len(witness_values)} values, want {nb_in}")
+
+    values = F.zeros(cs.nb_wires + 1)     # extra slot for wire -1 (zero)
+    if witness_values:
+        values[:, :nb_in] = F.pack([v % q for v in witness_values])
+
+    m = cs.nb_constraints
+    lv, rv, ov = F.zeros(m), F.zeros(m), F.zeros(m)
+
+    def run_hints(hint_ids):
+        for hidx in hint_ids:
+            h = cs.hints[hidx]
+            ins = []
+            for lc in h.inputs:
+                acc = 0
+                for iw, cv in lc:
+                    if iw < 0:
+                        acc += cv
+                    else:
+                        acc += cv * F.unpack(values[:, iw:iw + 1])[0]
+                ins.append(acc % q)
+            from gnark_tpu.backend import hints as hint_registry
+            fn = hint_registry.get(h.uuid)
+            outs = fn(q, ins, len(h.out_wires))
+            values[:, np.asarray(h.out_wires, np.int64)] = F.pack(
+                [int(o) % q for o in outs])
+
+    for lvl in plan.levels:
+        if lvl.hint_ids:
+            run_hints(lvl.hint_ids)
+        nrow = len(lvl.rows)
+        if nrow == 0:
+            continue
+        # slot values (wire -1 -> the zero slot at the end)
+        l0 = values[:, lvl.wl]
+        r0 = values[:, lvl.wr]
+        o0 = values[:, lvl.wo]
+        ql_l = F.mmul(lvl.qlm, l0)
+        qr_r = F.mmul(lvl.qrm, r0)
+        qm_l = F.mmul(lvl.qmm, l0)
+        qm_lr = F.mmul(F.to_mont(qm_l), r0)
+        qo_o = F.mmul(lvl.qom, o0)
+        resid = F.add(F.add(F.add(ql_l, qr_r), F.add(qm_lr, qo_o)), lvl.qcr)
+
+        unk = lvl.unk
+        if check:
+            none_rows = unk < 0
+            if none_rows.any():
+                bad = none_rows & ~F.is_zero(resid)
+                if bad.any():
+                    ci = int(lvl.rows[int(np.nonzero(bad)[0][0])])
+                    raise UnsatisfiedConstraintError(
+                        ci, f"gate {ci} not satisfied", cs.debug_info.get(ci))
+
+        for side in (0, 1, 2):
+            s_rows = unk == side
+            if not s_rows.any():
+                continue
+            if side == 2:
+                den_m = lvl.qom                      # -qo... den = -qo
+                num = F.sub(resid, qo_o)             # ql l + qr r + qm lr + qc
+                den = F.neg(F.mmul(den_m, np.broadcast_to(
+                    F.pack([1]), den_m.shape)))      # regular -qo
+            elif side == 1:
+                den = F.add(F.mmul(lvl.qrm, np.broadcast_to(
+                    F.pack([1]), lvl.qrm.shape)), qm_l)   # qr + qm*l
+                num = F.neg(F.sub(resid, F.add(qr_r, qm_lr)))
+            else:
+                qm_r = F.mmul(lvl.qmm, r0)
+                den = F.add(F.mmul(lvl.qlm, np.broadcast_to(
+                    F.pack([1]), lvl.qlm.shape)), qm_r)
+                num = F.neg(F.sub(resid, F.add(ql_l, qm_lr)))
+            den_m2 = F.to_mont(den)
+            inv_m = F.batch_inv_mont(np.where(s_rows, den_m2, 0))
+            wv = F.mmul(num, inv_m)
+            zden = F.is_zero(den_m2) & s_rows
+            if check and zden.any():
+                bad = zden & ~F.is_zero(num)
+                if bad.any():
+                    ci = int(lvl.rows[int(np.nonzero(bad)[0][0])])
+                    raise UnsatisfiedConstraintError(
+                        ci, "unsolvable gate", cs.debug_info.get(ci))
+            wires = (lvl.wl, lvl.wr, lvl.wo)[side]
+            sel = s_rows & (wires >= 0)
+            values[:, wires[sel]] = wv[:, sel]
+
+        # refresh slot values with solved unknowns, record l/r/o rows
+        lv[:, lvl.rows] = values[:, lvl.wl]
+        rv[:, lvl.rows] = values[:, lvl.wr]
+        ov[:, lvl.rows] = values[:, lvl.wo]
+
+    return values[:, :cs.nb_wires], lv, rv, ov

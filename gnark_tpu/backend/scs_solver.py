@@ -53,8 +53,25 @@ def solve(cs, witness_values, *, check: bool = True,
           native: bool | None = None) -> SCSSolution:
     """witness_values: [public | secret] ints (no constant-one wire).
 
-    native: None (auto) routes through the C gate-walk core for large
-    systems; False forces this python walk (the semantics reference)."""
+    native: None (auto) routes wide level schedules through the numpy
+    leveled sweep (np_solver.solve_scs_np, the P2 vectorization) and
+    large narrow ones through the C gate-walk core; False forces this
+    python walk (the semantics reference)."""
+    if native is None and getattr(cs, "levels", None):
+        avg = cs.nb_constraints / max(1, len(cs.levels))
+        if avg >= 512:
+            from gnark_tpu.backend import np_solver
+            out = np_solver.solve_scs_np(cs, witness_values, check=check)
+            if out is not None:
+                values, lv, rv, ov = out
+                F = np_solver.np_field(
+                    np_solver.spec_for_modulus(cs.field_modulus))
+                sol = SCSSolution(
+                    limbs={"values": values, "l": lv, "r": rv, "o": ov},
+                    field=F)
+                if cs.logs:
+                    _print_logs(cs, sol.values, cs.field_modulus)
+                return sol
     if native is None:
         native = cs.nb_constraints >= 2048
     if native:
