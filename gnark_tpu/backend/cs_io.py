@@ -114,6 +114,7 @@ def save_cs(cs, f) -> None:
             for a in (cs.wires_l, cs.wires_r, cs.wires_o,
                       cs.q_l, cs.q_r, cs.q_m, cs.q_o, cs.q_c):
                 _w_arr(out, a, np.int32)
+            _w_json(out, cs.levels)
     finally:
         if own:
             out.close()
@@ -155,7 +156,9 @@ def load_cs(f):
             return ir.R1CS(L=mats[0], R=mats[1], O=mats[2],
                            levels=levels, **common)
         arrs = [_r_arr(buf, np.int32) for _ in range(8)]
+        levels = _r_json(buf)
         return scs_ir.SCS(
+            levels=levels,
             wires_l=arrs[0], wires_r=arrs[1], wires_o=arrs[2],
             q_l=arrs[3], q_r=arrs[4], q_m=arrs[5], q_o=arrs[6],
             q_c=arrs[7], **common)
