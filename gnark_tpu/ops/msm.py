@@ -141,7 +141,12 @@ class MSM:
                     bucket = (2 * max(1, nb.bit_length()) + 2) * nb * 26
                     return nwin * (n * 11 + lane + bucket)
 
-                c = min(range(4, 17), key=cost)
+                # cap c at 8: larger windows' weighted-sum kernels
+                # (nb >= 1024 lanes) hit pathological Mosaic compile
+                # times (>1h at c=10); c=8 is within ~20% of the model
+                # optimum through 2^20 and shares compiled kernels
+                # across sizes
+                c = min(range(4, 9), key=cost)
             self.c = c
             self.nwin = -(-total_bits // c)
             self.R = lanes
