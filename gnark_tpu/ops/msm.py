@@ -107,9 +107,12 @@ class MSM:
                 # measured on v5e (docs/PERF.md): the Pallas-fused
                 # windowed Pippenger wins from ~2^13 up; the fused
                 # Pallas ladder has lower fixed cost below that.
-                # Wide fields (BW6, L>=24) use the rolled-loop field mul
-                # whose fori_loop body is not Pallas-lowered — XLA path.
-                if G.F.L >= 24:
+                # Wide BASE fields (BW6: 761/633-bit fp) use the
+                # rolled-loop field mul whose fori_loop body is not
+                # Pallas-lowered — XLA path.  Towers over narrow base
+                # fields (fp2 G2) are fine: check the BASE limb count.
+                baseF = getattr(G.F, "base", G.F)
+                if baseF.L >= 24:
                     method = "window"
                 else:
                     method = "window_pallas" if n >= 8192 else "ladder_pallas"
