@@ -115,7 +115,7 @@ class CompleteOps:
         t10 = base._redc(base._mul_wide_const(a1, c0))
         r0 = base.add(t00, F._mul_beta(t11))
         r1 = base.add(t01, t10)
-        return F._join([r0, r1])
+        return F._join(r0, r1)
 
     # -- group law (RCB15 algorithms 7-9, a = 0) -------------------------------
 

@@ -49,11 +49,28 @@ def main():
     print(f"[compile] {t_compile:.1f}s — {cs.nb_constraints} constraints "
           f"(2^{cs.nb_constraints.bit_length() - 1})", flush=True)
 
-    t0 = time.perf_counter()
-    pk, vk = groth16.setup(cs, BN254, rng=random.Random(42))
-    t_setup = time.perf_counter() - t0
-    print(f"[setup]   {t_setup:.1f}s (native QAP + device fixed-base keys)",
-          flush=True)
+    # Cache the (deterministic, rng=42) keys via key_io so reruns skip
+    # setup — this also exercises pk serialization at real scale.
+    import pickle
+
+    from gnark_tpu.backend import key_io
+    cache = f"/tmp/e2e_mimc_keys_{n_hashes}"
+    if os.path.exists(cache + ".npz"):
+        t0 = time.perf_counter()
+        pk = key_io.groth16_pk_read(cache + ".npz")
+        with open(cache + ".vk", "rb") as f:
+            vk = pickle.load(f)
+        print(f"[setup]   {time.perf_counter() - t0:.1f}s "
+              "(loaded from key_io cache)", flush=True)
+    else:
+        t0 = time.perf_counter()
+        pk, vk = groth16.setup(cs, BN254, rng=random.Random(42))
+        t_setup = time.perf_counter() - t0
+        print(f"[setup]   {t_setup:.1f}s (native QAP + device fixed-base "
+              "keys)", flush=True)
+        key_io.groth16_pk_write(pk, cache + ".npz")
+        with open(cache + ".vk", "wb") as f:
+            pickle.dump(vk, f)
 
     pre = 12345
     acc = pre
