@@ -114,6 +114,13 @@ class MSM:
                 baseF = getattr(G.F, "base", G.F)
                 if baseF.L >= 24:
                     method = "window"
+                elif baseF is not G.F:
+                    # tower fields (fp2 G2): the windowed graph over
+                    # 2L-limb elements exceeds the remote-compile
+                    # payload cap (HTTP 413 at 2^16); the fused ladder
+                    # keeps the shipped HLO small and is one MSM of
+                    # five in a Groth16 prove
+                    method = "ladder_pallas"
                 else:
                     method = "window_pallas" if n >= 8192 else "ladder_pallas"
             elif n <= LADDER_THRESHOLD:
