@@ -17,7 +17,9 @@ SURVEY §2.9):
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +29,24 @@ from gnark_tpu.fields.spec import FieldSpec, MASK, W
 
 _U32 = jnp.uint32
 _MASK = np.uint32(MASK)
+
+# Trace-time switch for the MXU REDC route (see FieldOps.__init__).
+# Module-global (tracing is single-threaded); default from the env so
+# whole runs can opt in without code changes.
+_MXU_REDC_ON = bool(os.environ.get("GNARK_TPU_MXU_REDC"))
+
+
+@contextlib.contextmanager
+def mxu_redc(enabled: bool = True):
+    """Route REDC const-multiplies through the MXU for ops traced inside
+    this context (narrow fields only; no-op for wide fields)."""
+    global _MXU_REDC_ON
+    prev = _MXU_REDC_ON
+    _MXU_REDC_ON = enabled
+    try:
+        yield
+    finally:
+        _MXU_REDC_ON = prev
 
 
 def _propagate(limbs):
@@ -80,6 +100,11 @@ def _rsub_const_borrow(c_limbs, a):
     return jnp.stack(out), borrow
 
 
+def _int_bytes(v: int, nbytes: int):
+    return np.array([(v >> (8 * i)) & 0xFF for i in range(nbytes)],
+                    np.float32)
+
+
 def _const_for(c, ndim):
     """Reshape an [L] or [L, 1] numpy constant for broadcasting against
     an [L, ...] operand with ndim total dims."""
@@ -113,17 +138,59 @@ class FieldOps:
         # code (required for Pallas kernels — no captured array constants)
         self._p_ints = tuple(int(v) for v in self._p.reshape(-1))
         self._pinv_ints = tuple(int(v) for v in self._pinv.reshape(-1))
+        # MXU route for the REDC constant products (narrow fields): the
+        # two const-multiplies m = t_low * p' mod R and m * p are
+        # byte-radix convolutions with a CONSTANT operand, i.e. matmuls
+        #   [2L, 2L] @ [2L, n]  and  [4L, 2L] @ [2L, n]
+        # over the bytes of the variable input.  bf16 x bf16 -> f32 is
+        # exact here: inputs < 2^8, products < 2^16, column sums
+        # < 2L * 255^2 < 2^24 (f32 integer-exact range).  This moves
+        # ~2/3 of the per-mul multiply work from the VPU to the MXU.
+        # Gated at trace time by mxu_redc() / GNARK_TPU_MXU_REDC (the
+        # route changes every mul in the traced graph, incl. inside
+        # Pallas kernel bodies — callers opt in per phase).
+        self._mxu_capable = not self._big
+        if self._mxu_capable:
+            L2 = 2 * spec.L
+            pinv_b = _int_bytes(pinv, L2)
+            p_b = _int_bytes(spec.modulus, L2)
+            m_pinv = np.zeros((L2, L2), np.float32)
+            for k in range(L2):
+                for i in range(k + 1):
+                    m_pinv[k, i] = pinv_b[k - i]
+            m_p = np.zeros((2 * L2, L2), np.float32)
+            for k in range(2 * L2):
+                for i in range(max(0, k - L2 + 1), min(L2, k + 1)):
+                    m_p[k, i] = p_b[k - i]
+            self._pinv_mat = jnp.asarray(m_pinv.astype(np.float32))
+            self._p_mat = jnp.asarray(m_p.astype(np.float32))
         # jit the hot entry points so eager use (tests, host-driven phases)
         # doesn't pay per-op dispatch; inside an enclosing jit these inline.
+        # Ops that reach _redc are cached per MXU-flag value (the flag is
+        # read at trace time, so it must be part of the executable key).
         self.add = jax.jit(self.add)
         self.sub = jax.jit(self.sub)
         self.neg = jax.jit(self.neg)
-        self.mul = jax.jit(self.mul)
-        self.sqr = jax.jit(self.sqr)
-        self.inv = jax.jit(self.inv)
-        self.batch_inv = jax.jit(self.batch_inv)
-        self.to_mont = jax.jit(self.to_mont)
-        self.from_mont = jax.jit(self.from_mont)
+        self.mul = self._jit_flagged(self.mul)
+        self.sqr = self._jit_flagged(self.sqr)
+        self.inv = self._jit_flagged(self.inv)
+        self.batch_inv = self._jit_flagged(self.batch_inv)
+        self.to_mont = self._jit_flagged(self.to_mont)
+        self.from_mont = self._jit_flagged(self.from_mont)
+
+    def _mxu_on(self):
+        return self._mxu_capable and _MXU_REDC_ON
+
+    def _jit_flagged(self, fn):
+        cache = {}
+
+        def wrapper(*args):
+            key = self._mxu_on()
+            if key not in cache:
+                cache[key] = jax.jit(fn)
+            return cache[key](*args)
+
+        return wrapper
 
     # -- constructors ------------------------------------------------------
 
@@ -267,8 +334,55 @@ class FieldOps:
 
         return jax.lax.fori_loop(0, L, body, acc0)
 
+    def _to_bytes(self, x):
+        """[L, ...] canonical 16-bit limbs -> [2L, ...] byte planes."""
+        lo = x & jnp.uint32(0xFF)
+        hi = (x >> jnp.uint32(8)) & jnp.uint32(0xFF)
+        # interleave: out[2i] = lo[i], out[2i+1] = hi[i]
+        return jnp.stack([lo, hi], axis=1).reshape(
+            (2 * x.shape[0],) + x.shape[1:])
+
+    def _fold_bytes(self, y):
+        """[2K, ...] byte-radix lazy columns (u32) -> [K, ...] 16-bit-radix
+        lazy columns: out[j] = y[2j] + 256 * y[2j+1]."""
+        K2 = y.shape[0]
+        ev = y[0:K2:2]
+        od = y[1:K2:2]
+        return ev + (od << jnp.uint32(8))
+
+    def _mxu_const_mul(self, x_bytes, mat):
+        """Byte-conv product with a constant via MXU matmul.
+
+        x_bytes: [2L, ...] u32 byte planes (< 2^8); mat: [K, 2L] f32
+        byte-conv matrix.  Returns [K, ...] u32 lazy byte columns
+        (< 2L * 255^2 < 2^24, exact through bf16 x bf16 -> f32)."""
+        shape = x_bytes.shape
+        xb = x_bytes.reshape(shape[0], -1).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            mat.astype(jnp.bfloat16), xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.astype(jnp.uint32).reshape((mat.shape[0],) + shape[1:])
+
+    def _redc_mxu(self, t):
+        """REDC with the two const-multiplies on the MXU (see __init__)."""
+        L = self.L
+        t_low, c_low = _propagate(t[:L])
+        m8 = self._mxu_const_mul(self._to_bytes(t_low), self._pinv_mat)
+        m, _ = _propagate(self._fold_bytes(m8))        # m mod R, canonical
+        mp = self._fold_bytes(
+            self._mxu_const_mul(self._to_bytes(m), self._p_mat))
+        # mp columns are lazy (< 2^30): same invariants as _redc below
+        _, carry = _propagate(t_low + mp[:L])
+        high = t[L:2 * L] + mp[L:2 * L]
+        high = jnp.concatenate(
+            [(high[0] + c_low + carry)[None], high[1:]], axis=0)
+        res, _ = _propagate(high[:L])
+        return self._cond_sub_p(res)
+
     def _redc(self, t):
         """Wide product columns -> canonical Montgomery-reduced value."""
+        if self._mxu_on():
+            return self._redc_mxu(t)
         L = self.L
         big = self._big
         t_low, c_low = _propagate(t[:L])               # canonical t mod R

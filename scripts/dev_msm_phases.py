@@ -95,11 +95,9 @@ def main():
     def lane_fn(px, py, pz):
         prefix = (px, py, pz)
         totals = tuple(jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
-        incl = _roll_scan(G, totals, R)
-        offs = tuple(jnp.roll(a, 1, axis=-1) for a in incl)
-        return (offs[0], offs[1], offs[2].at[..., 0].set(0))
+        return plan._lane_offsets_pallas(totals, nwin)
 
-    offs = timeit("lane-offset scan", lane_fn, *prefix)
+    offs = timeit("lane-offset scan (pallas)", lane_fn, *prefix)
 
     bvals = jnp.arange(1, 1 << cc, dtype=jnp.int32)
 
@@ -110,6 +108,8 @@ def main():
         return ends, starts
 
     ends, starts = timeit("searchsorted", bounds_fn, d_sorted)
+
+    GC = plan.GC
 
     @jax.jit
     def bucket_fn(px, py, pz, ox, oy, oz, ends, starts):
@@ -124,34 +124,22 @@ def main():
             Pp = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
             lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
             O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
-            T = G.add(Pp, O)
-            return (T[0], T[1], jnp.where((i >= 0)[None], T[2], 0))
+            T = GC.add(Pp, O)
+            valid = (i >= 0)[None]
+            return (jnp.where(valid, T[0], 0), T[1],
+                    jnp.where(valid, T[2], 0))
 
-        return G.add(prefix_total(ends), G.neg(prefix_total(starts)))
+        return GC.add(prefix_total(ends), GC.neg(prefix_total(starts)))
 
     buckets = timeit("bucket extraction", bucket_fn, *prefix, *offs, ends, starts)
 
-    @jax.jit
-    def wsum_fn(bx, by, bz):
-        suffix = _roll_scan(G, (bx, by, bz), nb, reverse=True)
-        return _reduce(G, suffix, nb)
+    wsum = jax.jit(lambda bx, by, bz: plan._weighted_sum_pallas(
+        (bx, by, bz), nwin))
+    S = timeit("weighted sum (pallas)", wsum, *buckets)
 
-    S = timeit("weighted suffix sum", wsum_fn, *buckets)
-
-    @jax.jit
-    def fold_fn(sx_, sy_, sz_):
-        S = (sx_, sy_, sz_)
-
-        def fold(T, S_w):
-            T = jax.lax.fori_loop(0, cc, lambda _, A: G.double(A), T)
-            return G.add(T, S_w), None
-
-        top = tuple(a[:, -1, :] for a in S)
-        rest = tuple(jnp.moveaxis(a[:, -2::-1, :], 1, 0) for a in S)
-        T, _ = jax.lax.scan(fold, top, rest)
-        return T
-
-    timeit("horner fold", fold_fn, *S)
+    fold = jax.jit(lambda sx_, sy_, sz_: plan._horner_fold_pallas(
+        (sx_, sy_, sz_)))
+    timeit("horner fold (pallas)", fold, *S)
 
 
 if __name__ == "__main__":
