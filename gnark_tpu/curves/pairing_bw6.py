@@ -289,3 +289,142 @@ class PairingBLS24(PairingBW6):
             xq[6 * i + 2] = x[i] % p
             yq[6 * i + 3] = y[i] % p
         return tuple(xq), tuple(yq)
+
+
+def naf_digits(n: int):
+    """Non-adjacent form of n > 0, LSB first: list of digits in {-1,0,1}."""
+    out = []
+    while n:
+        if n & 1:
+            d = 2 - (n % 4)
+            out.append(d)
+            n -= d
+        else:
+            out.append(0)
+        n //= 2
+    return out
+
+
+class PairingBLS24Ate(PairingBLS24):
+    """Optimal-ate pairing for BLS24 curves: f_{x,Q}(P)^((p^24-1)/r)
+    with the short Miller loop over the curve seed x (|x| is 32 bits,
+    NAF weight 5 for BLS24-315) and the x-chain final exponentiation
+
+        3 (p^8 - p^4 + 1)/r = (x-1)^2 (x+p) (x^2+p^2) (x^4+p^4-1) + 3
+
+    (verified as an integer identity in tests).  Reference:
+    gnark-crypto ecc/bls24-315/pairing.go MillerLoop/FinalExponentiation
+    — semantics target; this implementation works on untwisted affine
+    E(Fp24) points so the in-circuit gadget (std/algebra/sw_bls24315)
+    can mirror it operation-for-operation.
+    """
+
+    def __init__(self, curve):
+        super().__init__(curve)
+        self.x_param = curve.x_param
+        assert self.x_param < 0, "BLS24-315 seed is negative"
+        self._naf = naf_digits(-self.x_param)
+
+    # -- Frobenius powers on the flat basis --------------------------------
+    # (sum a_i w^i)^(p^e) = sum a_i * xi^((i p^e) // 24) * w^(i p^e mod 24)
+
+    @functools.lru_cache(maxsize=None)
+    def _frob_consts(self, e: int):
+        p, xi, k = self.p, self.gt.xi, self.gt.k
+        pe = p ** e
+        out = []
+        for i in range(k):
+            out.append(((i * pe) % k, pow(xi, (i * pe) // k, p)))
+        return out
+
+    def frob(self, a, e: int = 1):
+        p = self.p
+        out = [0] * self.gt.k
+        for i, (j, c) in enumerate(self._frob_consts(e)):
+            out[j] = (out[j] + a[i] * c) % p
+        return tuple(out)
+
+    # -- Miller loop --------------------------------------------------------
+
+    def _line_eval_ate(self, lam, T, PP):
+        """l(x, y) = (y - yT) - lam*(x - xT) at the embedded G1 point P;
+        all values in flat Fp24 (lam/T from the untwisted G2 ladder)."""
+        gt = self.gt
+        xT, yT = T
+        xP, yP = PP
+        return gt.add(gt.add(yP, gt.neg(yT)),
+                      gt.neg(gt.mul(lam, gt.add(xP, gt.neg(xT)))))
+
+    def miller_loop(self, pairs) -> tuple:
+        """prod_i f_{|x|, Q_i}(P_i), conjugated (x < 0)."""
+        gt = self.gt
+        live = [(p_, q_) for p_, q_ in pairs
+                if p_ is not None and q_ is not None]
+        f = gt.one()
+        if not live:
+            return f
+        work = []
+        for P, Q in live:
+            PP = (gt.from_int(P[0]), gt.from_int(P[1]))
+            QQ = self._untwist(Q)
+            work.append([QQ, QQ, PP])     # [T, Q, P]
+        naf = self._naf
+        for bit_pos in range(len(naf) - 2, -1, -1):
+            f = gt.sqr(f)
+            d = naf[bit_pos]
+            for st in work:
+                T, QQ, PP = st
+                # tangent at T
+                lam = gt.mul(gt.mul(gt.from_int(3), gt.sqr(T[0])),
+                             gt.inv(gt.add(T[1], T[1])))
+                x3 = gt.add(gt.sqr(lam), gt.neg(gt.add(T[0], T[0])))
+                y3 = gt.add(gt.mul(lam, gt.add(T[0], gt.neg(x3))),
+                            gt.neg(T[1]))
+                f = gt.mul(f, self._line_eval_ate(lam, T, PP))
+                T = (x3, y3)
+                if d:
+                    S = QQ if d > 0 else (QQ[0], gt.neg(QQ[1]))
+                    lam = gt.mul(gt.add(S[1], gt.neg(T[1])),
+                                 gt.inv(gt.add(S[0], gt.neg(T[0]))))
+                    x3 = gt.add(gt.sqr(lam),
+                                gt.neg(gt.add(T[0], S[0])))
+                    y3 = gt.add(gt.mul(lam, gt.add(T[0], gt.neg(x3))),
+                                gt.neg(T[1]))
+                    f = gt.mul(f, self._line_eval_ate(lam, T, PP))
+                    T = (x3, y3)
+                st[0] = T
+        # x < 0: f_{x} = conj(f_{|x|}) up to factors killed by final exp
+        return gt.conj(f)
+
+    # -- final exponentiation -----------------------------------------------
+
+    def _powu(self, a):
+        """a^x for the SIGNED seed x (a unitary/cyclotomic: inverse is
+        conj)."""
+        gt = self.gt
+        naf = self._naf
+        an = gt.conj(a)
+        r = a if naf[-1] > 0 else an
+        for bit_pos in range(len(naf) - 2, -1, -1):
+            r = gt.sqr(r)
+            d = naf[bit_pos]
+            if d > 0:
+                r = gt.mul(r, a)
+            elif d < 0:
+                r = gt.mul(r, an)
+        # naf encodes |x|; x < 0
+        return gt.conj(r)
+
+    def final_exp(self, f) -> tuple:
+        gt = self.gt
+        # easy part: f^((p^12 - 1)(p^4 + 1))
+        f = gt.mul(gt.conj(f), gt.inv(f))
+        f = gt.mul(self.frob(f, 4), f)
+        # hard part: f^((x-1)^2 (x+p) (x^2+p^2) (x^4+p^4-1) + 3)
+        t = gt.mul(self._powu(f), gt.conj(f))                  # f^(x-1)
+        t = gt.mul(self._powu(t), gt.conj(t))                  # ^(x-1)
+        t = gt.mul(self._powu(t), self.frob(t, 1))             # ^(x+p)
+        t = gt.mul(self._powu(self._powu(t)), self.frob(t, 2)) # ^(x^2+p^2)
+        t4 = self._powu(self._powu(self._powu(self._powu(t))))
+        t = gt.mul(gt.mul(t4, self.frob(t, 4)), gt.conj(t))    # ^(x^4+p^4-1)
+        return gt.mul(t, gt.mul(gt.sqr(f), f))                 # * f^3

@@ -15,5 +15,7 @@ def register_hints():
     from gnark_tpu.std import bits  # noqa: F401
     from gnark_tpu.backend import hints as _h
     from gnark_tpu.std.algebra import sw_bls12377 as _sw
+    from gnark_tpu.std.algebra import sw_bls24315 as _sw24
     _h.register(_sw.decompose_scalar_bls12377)   # std/hints.go:25 analog
+    _h.register(_sw24.decompose_scalar_bls24315)
     return _hints.all_registered()

@@ -83,7 +83,16 @@ def _fp2_pow(F2, a, e):
 
 class G1Gadget:
     """Affine BLS12-377 G1 ops on circuit variables (g1.go analog).
-    Incomplete formulas: callers must avoid identity / x1 == x2 cases."""
+    Incomplete formulas: callers must avoid identity / x1 == x2 cases.
+
+    Class attributes parameterize the inner curve so 2-chain siblings
+    (sw_bls24315) reuse the gadget with their own GLV constants."""
+
+    CURVE = BLS12_377
+    FR_MOD = FR
+    LAMBDA = GLV_LAMBDA
+    BETA_GLV = GLV_BETA
+    DECOMP_HINT = staticmethod(decompose_scalar_bls12377)
 
     def __init__(self, api):
         self.api = api
@@ -109,7 +118,7 @@ class G1Gadget:
     def assert_is_on_curve(self, P):
         api = self.api
         y2 = api.mul(P[1], P[1])
-        x3b = api.add(api.mul(api.mul(P[0], P[0]), P[0]), BLS12_377.b)
+        x3b = api.add(api.mul(api.mul(P[0], P[0]), P[0]), self.CURVE.b)
         api.assert_is_equal(y2, x3b)
 
     def scalar_mul_var(self, Q, s):
@@ -119,17 +128,17 @@ class G1Gadget:
         (Q, phi(Q)) instead of a 253-bit ladder — the endomorphism
         phi(x, y) = (beta*x, y) acts as multiplication by lambda."""
         api = self.api
-        sd = api.new_hint(decompose_scalar_bls12377, 3, s)
+        sd = api.new_hint(self.DECOMP_HINT, 3, s)
         s1, s2, k = sd
         # s1 + lambda*s2 == s + k*r over the outer field (no wrap: both
-        # sides < 2^256 << 2^377)
-        api.assert_is_equal(api.add(s1, api.mul(s2, GLV_LAMBDA)),
-                            api.add(s, api.mul(k, FR)))
-        nbits = GLV_LAMBDA.bit_length() + 1
+        # sides are far below the outer modulus)
+        api.assert_is_equal(api.add(s1, api.mul(s2, self.LAMBDA)),
+                            api.add(s, api.mul(k, self.FR_MOD)))
+        nbits = self.LAMBDA.bit_length() + 1
         s1b = api.to_binary(s1, nbits)
         s2b = api.to_binary(s2, nbits)
 
-        phiQ = (api.mul(Q[0], GLV_BETA), Q[1])
+        phiQ = (api.mul(Q[0], self.BETA_GLV), Q[1])
         negQ, negPhiQ = self.neg(Q), self.neg(phiQ)
 
         def pick(bit, P, Pneg):
@@ -167,7 +176,7 @@ class G1Gadget:
         scalars, not for honest verifier inputs."""
         api = self.api
         if nb_bits is None:
-            nb_bits = FR.bit_length()
+            nb_bits = self.FR_MOD.bit_length()
         bits = api.to_binary(scalar, nb_bits)
         acc = base
         for i in range(nb_bits - 1, -1, -1):
@@ -178,7 +187,7 @@ class G1Gadget:
                 S = self.add(acc, base)
             acc = (api.select(bits[i], S[0], acc[0]),
                    api.select(bits[i], S[1], acc[1]))
-        host = BLS12_377.host_g1
+        host = self.CURVE.host_g1
         corr = host.neg(host.scalar_mul(base, pow(2, nb_bits - 1)))
         return self.add(acc, corr)
 
