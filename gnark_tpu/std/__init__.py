@@ -18,4 +18,6 @@ def register_hints():
     from gnark_tpu.std.algebra import sw_bls24315 as _sw24
     _h.register(_sw.decompose_scalar_bls12377)   # std/hints.go:25 analog
     _h.register(_sw24.decompose_scalar_bls24315)
+    from gnark_tpu.std import twisted_edwards as _te
+    _h.register(_te.decompose_scalar_bandersnatch)
     return _hints.all_registered()

@@ -61,11 +61,99 @@ ED_BLS12_377 = EdCurveParams(
           1865293112817394669182574302935627347817612693344214897596094546402701041397),
 )
 
+@dataclasses.dataclass(frozen=True)
+class EdEndoParams:
+    """GLV endomorphism phi = sqrt(-2) in End(E) (Bandersnatch only):
+    phi(x, y) = (c (1 - y^2) / (x y), b (y^2 + b) / (y^2 - b)) acts as
+    [lambda] on the prime subgroup, lambda^2 = -2 mod order.
+    Reference: std/algebra/twistededwards/{curve.go:87-89,
+    scalarmul_glv.go:30-45}; all three constants are verified in-repo
+    (tests/test_std.py::test_bandersnatch_endo_constants)."""
+    b: int
+    c: int
+    lam: int
+
+
+# Bandersnatch (Masson-Sanso-Zhang 2021): the CM-discriminant -8 curve
+# over BLS12-381's fr with a fast sqrt(-2) endomorphism.  a/d are the
+# standard published parameters; the base point is self-derived (the
+# cofactor-cleared smallest-x point — any prime-order generator is
+# sound) and the endo constants are verified against [lambda] in tests.
+BANDERSNATCH = EdCurveParams(
+    name="bandersnatch", field_modulus=_BLS381_FR,
+    a=_BLS381_FR - 5,
+    d=45022363124591815672509500913686876175488063829319466900776701791074614335719,
+    order=13108968793781547619861935127046491459309155893440570251786403306729687672801,
+    cofactor=4,
+    base=(50481860688391125026623291212985840733737777157402964087292684909651731454655,
+          21762782431398507457283887687387424416439111684830036185915927138785374440754),
+)
+
+BANDERSNATCH_ENDO = EdEndoParams(
+    b=37446463827641770816307242315180085052603635617490163568005256780843403514036,
+    c=49199877423542878313146170939139662862850515542392585932876811575731455068989,
+    lam=8913659658109529928382530854484400854125314752504019737736543920008458395397,
+)
+
 BY_SNARK_CURVE = {
     "bn254": BABYJUBJUB,
     "bls12_381": JUBJUB,
     "bls12_377": ED_BLS12_377,
 }
+
+
+@functools.lru_cache(maxsize=None)
+def _glv_basis(order: int, lam: int):
+    """Short basis of {(a, b): a + b*lam = 0 mod order} via the extended
+    Euclid descent (GLV01); vectors have ~sqrt(order) components."""
+    import math
+    sq = math.isqrt(order)
+    r0, r1 = order, lam % order
+    t0, t1 = 0, 1
+    while r1 >= sq:
+        q = r0 // r1
+        r0, r1 = r1, r0 - q * r1
+        t0, t1 = t1, t0 - q * t1
+    # rows (a, b) satisfy a = -b*lam mod order, i.e. a + b*lam in L
+    v1 = (r1, -t1)
+    q = r0 // r1
+    v2_a = (r0, -t0)
+    v2_b = (r0 - q * r1, -(t0 - q * t1))
+    v2 = v2_a if max(map(abs, v2_a)) <= max(map(abs, v2_b)) else v2_b
+    return v1, v2
+
+
+def decompose_scalar_bandersnatch(q, ins, n):
+    """Hint: s -> (s1, s2, k) with -s1 + lam*s2 = s + k*order and
+    s1, s2 nonnegative ~129-bit (scalarmul_glv.go:52 DecomposeScalar
+    semantics: the ladder computes -s1*P + s2*phi(P))."""
+    order, lam = BANDERSNATCH.order, BANDERSNATCH_ENDO.lam
+    s = ins[0] % order
+    v1, v2 = _glv_basis(order, lam)
+    det = v1[0] * v2[1] - v2[0] * v1[1]
+    # babai: (s, 0) ~ c1*v1 + c2*v2
+    c1 = (s * v2[1] * 2 + det) // (2 * det)
+    c2 = (-s * v1[1] * 2 + det) // (2 * det)
+    k1 = s - c1 * v1[0] - c2 * v2[0]
+    k2 = -c1 * v1[1] - c2 * v2[1]
+    # normalize signs: need s1 = -k1 >= 0, s2 = k2 >= 0; adjustments by
+    # short lattice vectors keep both below 2^129
+    for _ in range(8):
+        if k1 <= 0 and k2 >= 0:
+            break
+        for v in (v1, v2, (-v1[0], -v1[1]), (-v2[0], -v2[1])):
+            n1, n2 = k1 + v[0], k2 + v[1]
+            if (n1 <= 0, n2 >= 0).count(True) > (k1 <= 0, k2 >= 0).count(True):
+                k1, k2 = n1, n2
+                break
+        else:
+            k1, k2 = k1 + v1[0] + v2[0], k2 + v1[1] + v2[1]
+    assert k1 <= 0 and k2 >= 0, "GLV normalization failed"
+    s1, s2 = -k1, k2
+    assert s1 < (1 << 129) and s2 < (1 << 129)
+    k, rem = divmod(lam * s2 - s1 - s, order)
+    assert rem == 0
+    return [s1, s2, k]
 
 
 class EdHost:
@@ -122,9 +210,12 @@ def host_curve(snark_curve_name: str) -> EdHost:
 class EdCurve:
     """In-circuit twisted Edwards ops (std/algebra/twistededwards/point.go)."""
 
-    def __init__(self, api):
+    def __init__(self, api, params: EdCurveParams = None):
         self.api = api
-        self.params = BY_SNARK_CURVE[api.curve_id()]
+        # default: the standard TE curve of the snark field; Bandersnatch
+        # (same field as jubjub) is selected explicitly, mirroring the
+        # reference's separate twistededwards.ID
+        self.params = params or BY_SNARK_CURVE[api.curve_id()]
 
     def add(self, P, Q):
         """P, Q: (x, y) variable pairs; unified complete addition."""
@@ -177,3 +268,51 @@ class EdCurve:
     def double_base_scalar_mul(self, P1, P2, s1, s2):
         """s1*P1 + s2*P2 (point.go:148 DoubleBaseScalarMul semantics)."""
         return self.add(self.scalar_mul(P1, s1), self.scalar_mul(P2, s2))
+
+    # ---- Bandersnatch GLV fast path --------------------------------------
+
+    def phi(self, P):
+        """The sqrt(-2) endomorphism acting as [lambda]
+        (scalarmul_glv.go:31 analog)."""
+        api = self.api
+        endo = BANDERSNATCH_ENDO
+        x, y = P
+        xy = api.mul(x, y)
+        yy = api.mul(y, y)
+        f = api.mul(api.sub(1, yy), endo.c)
+        g = api.mul(api.add(yy, endo.b), endo.b)
+        h = api.sub(yy, endo.b)
+        return (api.div_unchecked(f, xy), api.div_unchecked(g, h))
+
+    def scalar_mul_glv(self, P, scalar):
+        """[scalar]P on Bandersnatch via the GLV split
+        (scalarmul_glv.go:97 scalarMulGLV): decompose
+        -s1 + lambda*s2 = s + k*order (hint, verified in-circuit), then
+        a 129-iteration joint ladder over (-P, phi(P)) with Lookup2 —
+        vs the 253-step plain double-and-add."""
+        api = self.api
+        assert self.params.name == "bandersnatch", \
+            "GLV endomorphism exists on Bandersnatch only"
+        endo = BANDERSNATCH_ENDO
+        sd = api.new_hint(decompose_scalar_bandersnatch, 3, scalar)
+        s1, s2, k = sd
+        api.assert_is_equal(
+            api.sub(api.mul(s2, endo.lam), s1),
+            api.add(scalar, api.mul(k, self.params.order)))
+        n = 129
+        b1 = api.to_binary(s1, n)
+        b2 = api.to_binary(s2, n)
+
+        negP = self.neg(P)
+        phiP = self.phi(P)
+        both = self.add(negP, phiP)
+
+        def pick(i):
+            return (api.lookup2(b1[i], b2[i], 0, negP[0], phiP[0], both[0]),
+                    api.lookup2(b1[i], b2[i], 1, negP[1], phiP[1], both[1]))
+
+        R = pick(n - 1)
+        for i in range(n - 2, -1, -1):
+            R = self.double(R)
+            R = self.add(R, pick(i))
+        return R

@@ -119,6 +119,84 @@ def test_ed_scalar_mul_circuit_matches_host():
     test_harness.prover_succeeded(ScalarMul, a)
 
 
+# ---- Bandersnatch GLV ----------------------------------------------------------
+
+
+def test_bandersnatch_endo_constants():
+    """Verify the published endo constants in-repo: lambda^2 = -2 mod
+    order, the phi formula lands on the curve and acts as [lambda]."""
+    from gnark_tpu.std.twisted_edwards import (
+        BANDERSNATCH, BANDERSNATCH_ENDO, EdHost)
+    pms, endo = BANDERSNATCH, BANDERSNATCH_ENDO
+    p = pms.field_modulus
+    assert pow(endo.lam, 2, pms.order) == pms.order - 2
+    host = EdHost(pms)
+    host.validate()
+    X, Y = host.scalar_mul(pms.base, 12345)
+    yy = Y * Y % p
+    phix = endo.c * (1 - yy) % p * pow(X * Y % p, -1, p) % p
+    phiy = endo.b * (yy + endo.b) % p * pow((yy - endo.b) % p, -1, p) % p
+    assert host.is_on_curve((phix, phiy))
+    assert (phix, phiy) == host.scalar_mul((X, Y), endo.lam)
+
+
+def test_bandersnatch_glv_scalar_mul():
+    """GLV joint ladder (scalarmul_glv.go analog): engine differential
+    vs the host ladder + compiled/solved circuit."""
+    import random
+    from gnark_tpu import test_engine
+    from gnark_tpu.backend import solver
+    from gnark_tpu.curves import BLS12_381
+    from gnark_tpu.frontend.compile import compile_circuit
+    from gnark_tpu.std.twisted_edwards import BANDERSNATCH, EdHost
+
+    host = EdHost(BANDERSNATCH)
+    rng = random.Random(5)
+    k = rng.randrange(2, BANDERSNATCH.order)
+    base = host.scalar_mul(BANDERSNATCH.base, 3)
+    want = host.scalar_mul(base, k)
+
+    api = test_engine.BigIntEngine(BLS12_381)
+    c = EdCurve(api, BANDERSNATCH)
+    assert c.scalar_mul_glv(base, k) == want
+
+    # VARIABLE base point (the eddsa-style use case — with a constant
+    # base the plain ladder constant-folds its doubling chain and wins)
+    class Glv(Circuit):
+        out_x = Public()
+        out_y = Public()
+        bx = Secret(); by = Secret()
+        k = Secret()
+
+        def define(self, api):
+            c = EdCurve(api, BANDERSNATCH)
+            P = c.scalar_mul_glv((self.bx, self.by), self.k)
+            api.assert_is_equal(P[0], self.out_x)
+            api.assert_is_equal(P[1], self.out_y)
+
+    cs = compile_circuit(Glv(), BLS12_381)
+    assert solver.solve(cs, [want[0], want[1], base[0], base[1], k]) \
+        is not None
+    assert not solver.is_solved(cs, [want[0], (want[1] + 1),
+                                     base[0], base[1], k])
+    # the GLV ladder must beat the 253-step plain double-and-add
+    class Plain(Circuit):
+        out_x = Public()
+        out_y = Public()
+        bx = Secret(); by = Secret()
+        k = Secret()
+
+        def define(self, api):
+            c = EdCurve(api, BANDERSNATCH)
+            P = c.scalar_mul((self.bx, self.by), self.k)
+            api.assert_is_equal(P[0], self.out_x)
+            api.assert_is_equal(P[1], self.out_y)
+
+    cs_plain = compile_circuit(Plain(), BLS12_381)
+    assert cs.nb_constraints < cs_plain.nb_constraints, \
+        (cs.nb_constraints, cs_plain.nb_constraints)
+
+
 # ---- EdDSA ---------------------------------------------------------------------
 
 
