@@ -148,8 +148,12 @@ class FieldOps:
         # ~2/3 of the per-mul multiply work from the VPU to the MXU.
         # Gated at trace time by mxu_redc() / GNARK_TPU_MXU_REDC (the
         # route changes every mul in the traced graph, incl. inside
-        # Pallas kernel bodies — callers opt in per phase).
-        self._mxu_capable = not self._big
+        # Pallas kernel bodies — callers opt in per phase).  Valid for
+        # ALL widths: the exactness bound 2L * 255^2 < 2^24 holds
+        # through L = 128, and the matmul graph is O(1) in L (a plus
+        # for wide fields, whose unrolled const-mul graphs are the
+        # compile-time pain point).
+        self._mxu_capable = True
         if self._mxu_capable:
             L2 = 2 * spec.L
             pinv_b = _int_bytes(pinv, L2)
