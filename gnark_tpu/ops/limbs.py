@@ -359,13 +359,16 @@ class FieldOps:
 
         x_bytes: [2L, ...] u32 byte planes (< 2^8); mat: [K, 2L] f32
         byte-conv matrix.  Returns [K, ...] u32 lazy byte columns
-        (< 2L * 255^2 < 2^24, exact through bf16 x bf16 -> f32)."""
-        shape = x_bytes.shape
-        xb = x_bytes.reshape(shape[0], -1).astype(jnp.bfloat16)
+        (< 2L * 255^2 < 2^24, exact through bf16 x bf16 -> f32).
+
+        Rank-N dot_general (contract x_bytes dim 0, keep the batch dims
+        free) — no reshape, which keeps the op Mosaic-friendly inside
+        Pallas kernels."""
+        xb = x_bytes.astype(jnp.bfloat16)
         out = jax.lax.dot_general(
             mat.astype(jnp.bfloat16), xb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return out.astype(jnp.uint32).reshape((mat.shape[0],) + shape[1:])
+        return out.astype(jnp.uint32)
 
     def _redc_mxu(self, t):
         """REDC with the two const-multiplies on the MXU (see __init__)."""
