@@ -156,18 +156,14 @@ class FieldOps:
         self._mxu_capable = True
         if self._mxu_capable:
             L2 = 2 * spec.L
-            pinv_b = _int_bytes(pinv, L2)
-            p_b = _int_bytes(spec.modulus, L2)
-            m_pinv = np.zeros((L2, L2), np.float32)
-            for k in range(L2):
-                for i in range(k + 1):
-                    m_pinv[k, i] = pinv_b[k - i]
-            m_p = np.zeros((2 * L2, L2), np.float32)
-            for k in range(2 * L2):
-                for i in range(max(0, k - L2 + 1), min(L2, k + 1)):
-                    m_p[k, i] = p_b[k - i]
-            self._pinv_mat = jnp.asarray(m_pinv.astype(np.float32))
-            self._p_mat = jnp.asarray(m_p.astype(np.float32))
+            # byte values kept as python-int tuples: the conv matrices
+            # are built IN-TRACE from iota + scalar literals (Pallas
+            # kernels reject closed-over array constants; outside
+            # Pallas XLA constant-folds the construction)
+            self._pinv_bytes = tuple(
+                int(v) for v in _int_bytes(pinv, L2))
+            self._p_bytes = tuple(
+                int(v) for v in _int_bytes(spec.modulus, L2))
         # jit the hot entry points so eager use (tests, host-driven phases)
         # doesn't pay per-op dispatch; inside an enclosing jit these inline.
         # Ops that reach _redc are cached per MXU-flag value (the flag is
@@ -354,30 +350,51 @@ class FieldOps:
         od = y[1:K2:2]
         return ev + (od << jnp.uint32(8))
 
-    def _mxu_const_mul(self, x_bytes, mat):
+    @staticmethod
+    def _conv_mat(byte_vals, K):
+        """[K, len(byte_vals)] bf16 byte-conv (Toeplitz) matrix,
+        mat[k, i] = byte_vals[k - i], built from iota + scalar literals
+        only (no captured array constants — Pallas-kernel safe; XLA
+        constant-folds this whole construction outside Pallas)."""
+        L2 = len(byte_vals)
+        row = jax.lax.broadcasted_iota(jnp.int32, (K, L2), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, L2), 1)
+        d = row - col
+        mat = jnp.zeros((K, L2), jnp.bfloat16)
+        for k, v in enumerate(byte_vals):
+            if v:
+                mat = jnp.where(d == k, jnp.bfloat16(v), mat)
+        return mat
+
+    def _mxu_const_mul(self, x_bytes, byte_vals, K):
         """Byte-conv product with a constant via MXU matmul.
 
-        x_bytes: [2L, ...] u32 byte planes (< 2^8); mat: [K, 2L] f32
-        byte-conv matrix.  Returns [K, ...] u32 lazy byte columns
-        (< 2L * 255^2 < 2^24, exact through bf16 x bf16 -> f32).
+        x_bytes: [2L, ...] u32 byte planes (< 2^8); byte_vals: python
+        ints of the constant's 2L bytes.  Returns [K, ...] u32 lazy
+        byte columns (< 2L * 255^2 < 2^24, exact through
+        bf16 x bf16 -> f32).
 
         Rank-N dot_general (contract x_bytes dim 0, keep the batch dims
         free) — no reshape, which keeps the op Mosaic-friendly inside
         Pallas kernels."""
+        mat = self._conv_mat(byte_vals, K)
         xb = x_bytes.astype(jnp.bfloat16)
         out = jax.lax.dot_general(
-            mat.astype(jnp.bfloat16), xb, (((1,), (0,)), ((), ())),
+            mat, xb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return out.astype(jnp.uint32)
 
     def _redc_mxu(self, t):
         """REDC with the two const-multiplies on the MXU (see __init__)."""
         L = self.L
+        L2 = 2 * L
         t_low, c_low = _propagate(t[:L])
-        m8 = self._mxu_const_mul(self._to_bytes(t_low), self._pinv_mat)
+        # m_pinv is the L2-row (mod R) truncation; m_p the full 2*L2
+        m8 = self._mxu_const_mul(self._to_bytes(t_low),
+                                 self._pinv_bytes, L2)
         m, _ = _propagate(self._fold_bytes(m8))        # m mod R, canonical
         mp = self._fold_bytes(
-            self._mxu_const_mul(self._to_bytes(m), self._p_mat))
+            self._mxu_const_mul(self._to_bytes(m), self._p_bytes, 2 * L2))
         # mp columns are lazy (< 2^30): same invariants as _redc below
         _, carry = _propagate(t_low + mp[:L])
         high = t[L:2 * L] + mp[L:2 * L]
