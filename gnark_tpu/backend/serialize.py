@@ -87,6 +87,63 @@ def _fp2_lex_larger(y: tuple, p: int) -> bool:
     return y0 > p - y0
 
 
+def _fpk_lex_larger(y: tuple, p: int, order_idx) -> bool:
+    """Lexicographic order over tower coefficients, highest first (the
+    gnark-crypto E4 LexicographicallyLargest analog): decide on the
+    first nonzero coefficient.  Well-defined under y -> -y (same first
+    nonzero position, flipped comparison)."""
+    for i in order_idx:
+        c = y[i] % p
+        if c:
+            return c > p - c
+    return False
+
+
+def _sqrt_fpk(F, a):
+    """Square root in fp^k = fp[u]/(u^k - c) (HostFpK) via generic
+    Tonelli-Shanks over the multiplicative group of order p^k - 1.
+    Host-side only (deserialization); ~1 ms-scale at k = 4."""
+    q = F.p ** F.k
+    a = tuple(v % F.p for v in a)
+    if a == F.zero:
+        return F.zero
+
+    def fpow(x, e):
+        r, b = F.one, x
+        while e:
+            if e & 1:
+                r = F.mul(r, b)
+            b = F.sqr(b)
+            e >>= 1
+        return r
+
+    if fpow(a, (q - 1) // 2) != F.one:
+        return None
+    m, s = q - 1, 0
+    while m % 2 == 0:
+        m //= 2
+        s += 1
+    z = None
+    for c0 in range(2, 200):
+        cand = (c0 % F.p, 1) + (0,) * (F.k - 2)
+        if fpow(cand, (q - 1) // 2) != F.one:
+            z = cand
+            break
+    assert z is not None, "no quadratic non-residue found"
+    M, c, t, r = s, fpow(z, m), fpow(a, m), fpow(a, (m + 1) // 2)
+    while t != F.one:
+        i, tt = 0, t
+        while tt != F.one:
+            tt = F.sqr(tt)
+            i += 1
+        b = c
+        for _ in range(M - i - 1):
+            b = F.sqr(b)
+        M, c = i, F.sqr(b)
+        t, r = F.mul(t, F.sqr(b)), F.mul(r, b)
+    return r
+
+
 class PointCodec:
     """Compressed-point codec for one curve (G1 over fp, G2 over fp2)."""
 
@@ -98,6 +155,14 @@ class PointCodec:
         # 384-381); gnark 2-bit flags otherwise (BN254: 256-254 = 2)
         spare = 8 * self.nbytes - curve.fp.modulus.bit_length()
         self.zcash = spare >= 3
+        # G2 coordinate field: fp2 (default), fp itself (BW6 family's
+        # sextic twist over fp), or fp4 (BLS24's quartic tower)
+        self.g2_fp = getattr(curve, "g2_over_fp", False)
+        self.g2_k = 1 if self.g2_fp else getattr(curve, "g2_tower_k", 2)
+        # fp4 coefficient wire order: gnark-crypto writes the E4 tower
+        # B1.A1 | B1.A0 | B0.A1 | B0.A0; with u = v^2 that is quartic
+        # v-basis indices (3, 1, 2, 0)
+        self._fp4_order = (3, 1, 2, 0)
 
     # ---- G1 -----------------------------------------------------------------
 
@@ -157,9 +222,95 @@ class PointCodec:
     # ---- G2 -----------------------------------------------------------------
 
     def g2_compressed_size(self):
-        return 2 * self.nbytes
+        return self.g2_k * self.nbytes
+
+    def _flags_byte(self, larger: bool) -> int:
+        if self.zcash:
+            return 0b10100000 if larger else 0b10000000
+        return 0b11000000 if larger else 0b10000000
+
+    def _parse_flags(self, buf):
+        """Strip the flag bits from buf[0]; -> (is_infinity, largest)."""
+        if self.zcash:
+            flags = buf[0] >> 5
+            buf[0] &= 0x1F
+            return bool(flags & 0b010), bool(flags & 0b001)
+        flags = buf[0] >> 6
+        buf[0] &= 0x3F
+        return flags == 0b01, flags == 0b11
+
+    def _g2_subgroup_check(self, P):
+        if not self.curve.host_g2.is_on_curve(P):
+            raise ValueError("invalid G2 point")
+        # G2 cofactor is nontrivial on every supported curve
+        if self.curve.host_g2.scalar_mul(P, self.curve.fr.modulus) is not None:
+            raise ValueError("G2 point not in the prime-order subgroup")
+        return P
+
+    def _g2_fp_to_bytes(self, P) -> bytes:
+        """BW6 family: G2 lives over fp itself — G1-shaped encoding with
+        the twist's curve equation."""
+        p, n = self.p, self.nbytes
+        if P is None:
+            flag = 0b11000000 if self.zcash else 0b01000000
+            return bytes([flag] + [0] * (n - 1))
+        x, y = P
+        out = bytearray(x.to_bytes(n, "big"))
+        out[0] |= self._flags_byte(y > p - y)
+        return bytes(out)
+
+    def _g2_fp_from_bytes(self, data: bytes):
+        p, n = self.p, self.nbytes
+        buf = bytearray(data[:n])
+        inf, largest = self._parse_flags(buf)
+        if inf:
+            return None
+        x = int.from_bytes(bytes(buf), "big")
+        y2 = (pow(x, 3, p) + self.curve.b2) % p
+        y = _sqrt_fp(y2, p)
+        if y is None:
+            raise ValueError("invalid G2 compressed point: x not on twist")
+        if (y > p - y) != largest:
+            y = (p - y) % p
+        return self._g2_subgroup_check((x, y))
+
+    def _g2_fp4_to_bytes(self, P) -> bytes:
+        """BLS24: G2 over fp4 (quartic v-basis tuples)."""
+        p, n = self.p, self.nbytes
+        if P is None:
+            flag = 0b11000000 if self.zcash else 0b01000000
+            return bytes([flag] + [0] * (4 * n - 1))
+        x, y = P
+        out = bytearray(b"".join(
+            (x[i] % p).to_bytes(n, "big") for i in self._fp4_order))
+        out[0] |= self._flags_byte(_fpk_lex_larger(y, p, self._fp4_order))
+        return bytes(out)
+
+    def _g2_fp4_from_bytes(self, data: bytes):
+        p, n = self.p, self.nbytes
+        buf = bytearray(data[:4 * n])
+        inf, largest = self._parse_flags(buf)
+        if inf:
+            return None
+        coeffs = [0] * 4
+        for slot, i in enumerate(self._fp4_order):
+            coeffs[i] = int.from_bytes(bytes(buf[slot * n:(slot + 1) * n]),
+                                       "big")
+        x = tuple(coeffs)
+        F4 = self.curve.host_g2.F
+        y2 = F4.add(F4.mul(F4.sqr(x), x), self.curve.b2)
+        y = _sqrt_fpk(F4, y2)
+        if y is None:
+            raise ValueError("invalid G2 compressed point: x not on twist")
+        if _fpk_lex_larger(y, p, self._fp4_order) != largest:
+            y = F4.neg(y)
+        return self._g2_subgroup_check((x, y))
 
     def g2_to_bytes(self, P) -> bytes:
+        if self.g2_fp:
+            return self._g2_fp_to_bytes(P)
+        if self.g2_k == 4:
+            return self._g2_fp4_to_bytes(P)
         p, n = self.p, self.nbytes
         if P is None:
             flag = 0b11000000 if self.zcash else 0b01000000
@@ -177,6 +328,10 @@ class PointCodec:
         return bytes(out)
 
     def g2_from_bytes(self, data: bytes):
+        if self.g2_fp:
+            return self._g2_fp_from_bytes(data)
+        if self.g2_k == 4:
+            return self._g2_fp4_from_bytes(data)
         p, n = self.p, self.nbytes
         buf = bytearray(data[:2 * n])
         if self.zcash:

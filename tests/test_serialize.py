@@ -77,3 +77,51 @@ def test_witness_binary_roundtrip():
     assert struct.unpack_from(">I", data)[0] == 3
     w2 = Witness.from_bytes(data, BN254.fr.modulus, 1)
     assert w2.values == [5, 7, 11]
+
+
+def test_point_roundtrip_wide_g2_families():
+    """fp-G2 (BW6 family) and fp4-G2 (BLS24) codec branches: point
+    round-trips, infinity encodings, and subgroup rejection."""
+    from gnark_tpu.curves import BLS24_315, BW6_633, BW6_761
+
+    for cv in (BW6_761, BW6_633, BLS24_315):
+        c = serialize.PointCodec(cv)
+        P = cv.host_g1.scalar_mul(cv.g1_gen, 123456789)
+        assert c.g1_from_bytes(c.g1_to_bytes(P)) == P
+        Q = cv.host_g2.scalar_mul(cv.g2_gen, 987654321)
+        data = c.g2_to_bytes(Q)
+        assert len(data) == c.g2_compressed_size()
+        assert c.g2_from_bytes(data) == Q
+        assert c.g2_from_bytes(c.g2_to_bytes(None)) is None
+        # a tampered x must be rejected (off-twist or out of subgroup)
+        bad = bytearray(data)
+        bad[-1] ^= 1
+        with pytest.raises(ValueError):
+            c.g2_from_bytes(bytes(bad))
+
+
+def test_proof_vk_roundtrip_bls24():
+    """Full proof + VK byte round-trip on a curve with fp4 G2."""
+    import random
+    from gnark_tpu.backend import groth16
+    from gnark_tpu.curves import BLS24_315
+    from gnark_tpu.frontend.compile import compile_circuit
+    from gnark_tpu.frontend.schema import Circuit, Public, Secret
+
+    class Cubic(Circuit):
+        x = Secret()
+        y = Public()
+
+        def define(self, api):
+            api.assert_is_equal(
+                self.y, api.add(api.mul(self.x, self.x, self.x), self.x, 5))
+
+    cs = compile_circuit(Cubic(), BLS24_315)
+    pk, vk = groth16.setup(cs, BLS24_315, rng=random.Random(3), host=True)
+    proof = groth16.prove(cs, pk, [35, 3], rng=random.Random(4))
+
+    proof2 = serialize.proof_from_bytes(
+        serialize.proof_to_bytes(proof, BLS24_315), BLS24_315)
+    vk2 = serialize.vk_from_bytes(serialize.vk_to_bytes(vk), BLS24_315)
+    assert groth16.verify(proof2, vk2, [35])
+    assert not groth16.verify(proof2, vk2, [36])
