@@ -576,6 +576,33 @@ class MSM:
         )(*Sp)
         return (X[:, :1], Y[:, :1], Z[:, :1])
 
+    def _sort_gather(self, ptrows, dg, nw):
+        """Sorted point layout for the leaf kernel, gather-friendly.
+
+        Instead of argsort + a minor-axis `take` of the [L, n] limb
+        planes (each gathered element a 16-limb strided column — the
+        measured 84 ms wall at 2^16), pack (digit, index) into ONE
+        uint32 sort key and gather whole 2L-limb point ROWS from the
+        row-major [n_pad, 2L] mirror, then relayout with a regular
+        (bandwidth-bound) transpose:
+          key = digit << idx_bits | index  — one-array sort, stable by
+          construction, yields d_sorted AND the permutation for free.
+        Returns (sx, sy) in the kernel's [nw, C, L, R] blocked layout
+        (sorted index s = r*C + cstep) and d_sorted [nw, n_pad] int32.
+        """
+        L = ptrows.shape[1] // 2
+        n_pad, R, C = self.n_pad, self.R, self.C
+        idx_bits = max(1, (n_pad - 1).bit_length())
+        assert self.c + idx_bits <= 32, "packed sort key overflows u32"
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (nw, n_pad), 1)
+        key = (dg.astype(jnp.uint32) << np.uint32(idx_bits)) | iota
+        skey = jax.lax.sort(key, dimension=1)
+        orders = (skey & np.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        d_sorted = (skey >> np.uint32(idx_bits)).astype(jnp.int32)
+        g = jnp.take(ptrows, orders, axis=0)        # [nw, n_pad, 2L] rows
+        g = jnp.transpose(g.reshape(nw, R, C, 2 * L), (0, 2, 3, 1))
+        return g[:, :, :L], g[:, :, L:], d_sorted
+
     def _run_window_pallas(self, xs, ys, inf_mask, scalars):
         G, F = self.G, self.G.F
         n, n_pad, R, C, c = self.n, self.n_pad, self.R, self.C, self.c
@@ -597,19 +624,17 @@ class MSM:
         bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)
         infu = inf_mask.astype(jnp.uint32)
 
+        # row-major point mirror [n_pad, 2L]; the infinity flag rides in
+        # bit 16 of y limb-plane 0 (16-bit planes: the top half is free)
+        # so sorted rows carry it without a post-gather scatter-update
+        ysf = ys.at[0].add(infu << jnp.uint32(16))
+        ptrows = jnp.concatenate([xs.T, ysf.T], axis=1)
+
         S_parts = []
         for w0 in range(0, nwin, self.wchunk):
             nw = min(self.wchunk, nwin - w0)
             dg = digits[w0:w0 + nw]
-            orders = jax.vmap(jnp.argsort)(dg)            # [nw, n_pad]
-            d_sorted = jnp.take_along_axis(dg, orders, axis=1)
-            # blocked layout [nw, C, L, R]: sorted index s = r*C + cstep
-            ord2 = jnp.transpose(
-                orders.reshape(nw, R, C), (0, 2, 1))      # [nw, C, R]
-            sx = jnp.transpose(jnp.take(xs, ord2, axis=1), (1, 2, 0, 3))
-            sy = jnp.transpose(jnp.take(ys, ord2, axis=1), (1, 2, 0, 3))
-            sinf = jnp.take(infu, ord2)                   # [nw, C, R]
-            sy = sy.at[:, :, 0, :].add(sinf << jnp.uint32(16))
+            sx, sy, d_sorted = self._sort_gather(ptrows, dg, nw)
 
             prefix = self._leaf_prefix_pallas(sx, sy, nw)
 

@@ -70,23 +70,15 @@ def main():
     digits = timeit("digits", digits_fn, sc, inf)
 
     @jax.jit
-    def sort_fn(dg):
-        orders = jax.vmap(jnp.argsort)(dg)
-        d_sorted = jnp.take_along_axis(dg, orders, axis=1)
-        return orders, d_sorted
+    def rows_fn(xs, ys, inf_mask):
+        infu = inf_mask.astype(jnp.uint32)
+        ysf = ys.at[0].add(infu << jnp.uint32(16))
+        return jnp.concatenate([xs.T, ysf.T], axis=1)
 
-    orders, d_sorted = timeit("argsort", sort_fn, digits)
+    ptrows = timeit("row mirror", rows_fn, xs, ys, inf)
 
-    @jax.jit
-    def gather_fn(xs, ys, inf_mask, orders):
-        ord2 = jnp.transpose(orders.reshape(nwin, R, C), (0, 2, 1))
-        sx = jnp.transpose(jnp.take(xs, ord2, axis=1), (1, 2, 0, 3))
-        sy = jnp.transpose(jnp.take(ys, ord2, axis=1), (1, 2, 0, 3))
-        sinf = jnp.take(inf_mask.astype(jnp.uint32), ord2)
-        sy = sy.at[:, :, 0, :].add(sinf << jnp.uint32(16))
-        return sx, sy
-
-    sx, sy = timeit("gather+relayout", gather_fn, xs, ys, inf, orders)
+    sg = jax.jit(lambda rows, dg: plan._sort_gather(rows, dg, nwin))
+    sx, sy, d_sorted = timeit("sort+gather (packed key)", sg, ptrows, digits)
 
     leaf = jax.jit(lambda a, b: plan._leaf_prefix_pallas(a, b, nwin))
     prefix = timeit("leaf kernel (pallas)", leaf, sx, sy)
