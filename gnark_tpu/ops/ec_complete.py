@@ -41,9 +41,11 @@ class CompleteOps:
             q = spec.modulus
             b3 = 3 * (b % q) % q
             R = spec.R
+            b3m = b3 * R % q
             self._b3_ints = tuple(
-                int((b3 * R % q) >> (16 * i)) & 0xFFFF
-                for i in range(spec.L))
+                int(b3m >> (16 * i)) & 0xFFFF for i in range(spec.L))
+            self._b3_bytes = tuple(
+                int(b3m >> (8 * i)) & 0xFF for i in range(2 * spec.L))
             self._fp2 = False
         else:                                     # fp2 (Fp2Ops)
             base = F.base
@@ -54,6 +56,10 @@ class CompleteOps:
             self._b3_ints = tuple(
                 tuple(int((c * R % q) >> (16 * i)) & 0xFFFF
                       for i in range(base.spec.L))
+                for c in b3)
+            self._b3_bytes = tuple(
+                tuple(int((c * R % q) >> (8 * i)) & 0xFF
+                      for i in range(2 * base.spec.L))
                 for c in b3)
             self._fp2 = True
 
@@ -103,16 +109,25 @@ class CompleteOps:
     def _mul_b3(self, a):
         F = self.F
         if not self._fp2:
-            t = F._mul_wide_const(a, self._b3_ints)
+            if F._mxu_on():
+                t = F._mul_wide_const_mxu(a, self._b3_bytes)
+            else:
+                t = F._mul_wide_const(a, self._b3_ints)
             return F._redc(t)
         # fp2: (a0 + u a1)(c0 + u c1) with constant (c0, c1)
         base = F.base
         a0, a1 = F._split(a)
-        c0, c1 = self._b3_ints
-        t00 = base._redc(base._mul_wide_const(a0, c0))
-        t11 = base._redc(base._mul_wide_const(a1, c1))
-        t01 = base._redc(base._mul_wide_const(a0, c1))
-        t10 = base._redc(base._mul_wide_const(a1, c0))
+        if base._mxu_on():
+            c0b, c1b = self._b3_bytes
+            wide = lambda x, cb: base._mul_wide_const_mxu(x, cb)
+            c0, c1 = c0b, c1b
+        else:
+            wide = lambda x, ci: base._mul_wide_const(x, ci)
+            c0, c1 = self._b3_ints
+        t00 = base._redc(wide(a0, c0))
+        t11 = base._redc(wide(a1, c1))
+        t01 = base._redc(wide(a0, c1))
+        t10 = base._redc(wide(a1, c0))
         r0 = base.add(t00, F._mul_beta(t11))
         r1 = base.add(t01, t10)
         return F._join(r0, r1)

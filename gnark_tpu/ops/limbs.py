@@ -384,6 +384,14 @@ class FieldOps:
             preferred_element_type=jnp.float32)
         return out.astype(jnp.uint32)
 
+    def _mul_wide_const_mxu(self, a, c_bytes):
+        """MXU variant of _mul_wide_const: byte-conv matmul with the
+        constant's 2L bytes, folded back to 2L 16-bit-radix lazy
+        columns (< 2^30 — the same lazy invariant _redc consumes).
+        c_bytes: python-int tuple of the constant's 2L bytes."""
+        y = self._mxu_const_mul(self._to_bytes(a), c_bytes, 4 * self.L)
+        return self._fold_bytes(y)
+
     def _redc_mxu(self, t):
         """REDC with the two const-multiplies on the MXU (see __init__)."""
         L = self.L

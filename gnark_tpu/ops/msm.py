@@ -40,13 +40,15 @@ import numpy as np
 from gnark_tpu.ops.ec import CurveOps
 
 
-def window_digits(scalars, c: int):
+def window_digits(scalars, c: int, nwin: int | None = None):
     """uint32[Ls, n] regular-form scalars -> int32[nwin, n] window digits."""
     Ls, n = scalars.shape[0], scalars.shape[1:]
     total_bits = Ls * 16
-    nwin = -(-total_bits // c)
+    if nwin is None:
+        nwin = -(-total_bits // c)
+    pad_limbs = -(-(nwin * c) // 16) + 1 - Ls
     padded = jnp.concatenate(
-        [scalars, jnp.zeros((1,) + n, jnp.uint32)], axis=0)
+        [scalars, jnp.zeros((max(1, pad_limbs),) + n, jnp.uint32)], axis=0)
     mask = np.uint32((1 << c) - 1)
     outs = []
     for w in range(nwin):
@@ -56,6 +58,36 @@ def window_digits(scalars, c: int):
             d = d | (padded[q + 1] << np.uint32(16 - sh))
         outs.append(d & mask)
     return jnp.stack(outs).astype(jnp.int32)
+
+
+def window_digits_signed(scalars, c: int):
+    """Signed-digit recoding: scalar = sum_w d_w 2^(cw) with
+    d_w in (-2^(c-1), 2^(c-1)].
+
+    Buckets index |d| in [1, 2^(c-1)] — HALF the buckets of an unsigned
+    c-bit window (the negative half is absorbed by free EC negation at
+    the leaf), so c can grow by one at the same bucket-kernel cost and
+    the window count drops (BN254: 29 signed c=9 windows vs 32 unsigned
+    c=8).  Standard wNAF-family recoding; carries ripple across windows
+    (vectorized over the point axis, the window loop unrolls in-trace).
+
+    Returns (absd int32[nwin, n], sign uint32[nwin, n]); nwin includes
+    one slack bit so the final carry can never be dropped.
+    """
+    Ls = scalars.shape[0]
+    total_bits = Ls * 16
+    nwin = -(-(total_bits + 1) // c)
+    u = window_digits(scalars, c, nwin)           # unsigned base digits
+    half, full = 1 << (c - 1), 1 << c
+    carry = jnp.zeros(scalars.shape[1:], jnp.int32)
+    absd, signs = [], []
+    for w in range(nwin):
+        t = u[w] + carry
+        neg = t > half
+        absd.append(jnp.where(neg, full - t, t))
+        signs.append(neg.astype(jnp.uint32))
+        carry = neg.astype(jnp.int32)
+    return jnp.stack(absd), jnp.stack(signs)
 
 
 def _roll_scan(G: CurveOps, P, n: int, reverse: bool = False):
@@ -98,10 +130,11 @@ class MSM:
 
     def __init__(self, G: CurveOps, n: int, scalar_limbs: int,
                  c: int | None = None, lanes: int | None = None,
-                 method: str = "auto"):
+                 method: str = "auto", signed: bool = False):
         self.G = G
         self.n = n
         self.scalar_limbs = scalar_limbs
+        self.signed = signed
         if method == "auto" and c is None and lanes is None:
             if jax.default_backend() != "cpu":
                 # measured on v5e (docs/PERF.md): the Pallas-fused
@@ -126,6 +159,7 @@ class MSM:
             elif n <= LADDER_THRESHOLD:
                 method = "ladder"
         if method in ("ladder", "ladder_pallas"):
+            assert not signed, "signed digits: window_pallas only"
             self.c = self.nwin = self.R = self.C = self.n_pad = None
             self._impl = (self._run_ladder_pallas
                           if method == "ladder_pallas" else self._run_ladder)
@@ -140,7 +174,16 @@ class MSM:
             self.GC = CompleteOps(G.F, G.b)
             if lanes is None:
                 lanes = 512          # VMEM tile width of the leaf kernel
-            if c is None:
+            if signed:
+                # signed digits: |d| <= 2^(c-1) — half the buckets of an
+                # unsigned c-bit window, so c=9 matches the c=8 bucket-
+                # kernel cost with 29 windows instead of 32 (BN254)
+                if c is None:
+                    c = 9
+                self.c = c
+                self.nwin = -(-(total_bits + 1) // c)
+                self.nb = 1 << (c - 1)
+            elif c is None:
                 # cost in field-muls: leaf = n mixed adds (11M)/window;
                 # lane-offset scan = log2(R)*R full adds (26M); weighted
                 # bucket reduction = 2 roll-scans over nb buckets.
@@ -157,20 +200,42 @@ class MSM:
                 # optimum through 2^20 and shares compiled kernels
                 # across sizes
                 c = min(range(4, 9), key=cost)
-            self.c = c
-            self.nwin = -(-total_bits // c)
+            if not signed:
+                self.c = c
+                self.nwin = -(-total_bits // c)
+                self.nb = (1 << c) - 1
             self.R = lanes
             self.TILER = min(lanes, 1024)
             assert self.R % 128 == 0 and self.R % self.TILER == 0
             self.C = -(-n // self.R)
             self.n_pad = self.C * self.R
             # chunk windows so the materialized prefix arrays stay under
-            # ~1.5 GB of HBM (matters at 2^20; one chunk at 2^16)
+            # the HBM cap (matters at 2^20; one chunk at 2^16).  Peak
+            # live ~= prefix + its flat transpose copy + gathered sx/sy
+            # ~= 2.7x the prefix bytes, so 3.5 GB of prefix keeps peak
+            # under ~10 GB of the chip's 16 GB.  Round 1 used 1.5 GB
+            # (5-way chunking at 2^20 — the measured throughput dip).
+            import os as _os
+            cap = float(_os.environ.get("GNARK_TPU_MSM_HBM_CAP", 3.5e9))
             per_win = self.n_pad * self.G.F.L * 4 * 3
-            self.wchunk = max(1, int(1.5e9) // per_win)
+            wmax = max(1, int(cap) // per_win)
+            if getattr(G.F, "base", G.F) is not G.F:
+                # tower fields: small chunks keep the shipped HLO under
+                # the axon remote-compile payload cap (HTTP 413)
+                wmax = min(wmax, 8)
+            # balance chunk sizes (17+15 -> 16+16) and pad the window
+            # count so every chunk shares ONE executable; padded top
+            # windows have zero digits -> identity contributions
+            nchunks = -(-self.nwin // wmax)
+            self.wchunk = -(-self.nwin // nchunks)
+            self.nwin_pad = nchunks * self.wchunk
             self._impl = self._run_window_pallas
-            self._fn = jax.jit(self._impl)
+            self._fn = self._run_window_chunked
+            self._prep_jit = jax.jit(self._prep_window)
+            self._chunk_jit = jax.jit(self._window_chunk)
+            self._finish_jit = jax.jit(self._finish_window)
             return
+        assert not signed, "signed digits: window_pallas only"
         if c is None:
             # cost model: per window, leaf phase = n mixed adds (~11 muls),
             # bucket phase = 2 roll-scans over 2^c buckets (~2c * 2^c full
@@ -404,9 +469,14 @@ class MSM:
 
             px = x_ref[0, 0]
             yr = y_ref[0, 0]
-            pinf = (yr[0, :] >> jnp.uint32(16)) != 0
+            flags = yr[0, :] >> jnp.uint32(16)
+            pinf = (flags & jnp.uint32(1)) != 0
             py = jnp.concatenate(
                 [yr[0:1] & jnp.uint32(0xFFFF), yr[1:]], axis=0)
+            if self.signed:
+                # bit 17: signed-digit sign — add -P instead of P
+                psign = (flags >> jnp.uint32(1)) != 0
+                py = F.select(psign, F.neg(py), py)
             acc = GC.add_mixed((ax[:], ay[:], az[:]), (px, py), pinf)
             ax[:], ay[:], az[:] = acc
             ox[0, 0], oy[0, 0], oz[0, 0] = acc
@@ -490,7 +560,7 @@ class MSM:
         from jax.experimental.pallas import tpu as pltpu
 
         G = self.G
-        nb = (1 << self.c) - 1
+        nb = self.nb
         nbp = -(-nb // 128) * 128
         L = buckets[0].shape[0]
         nw8 = -(-nw // 8) * 8
@@ -551,7 +621,7 @@ class MSM:
         from jax.experimental.pallas import tpu as pltpu
 
         GC = self.GC
-        nwin, c = self.nwin, self.c
+        nwin, c = S[0].shape[1], self.c
         L = S[0].shape[0]
         nw8 = -(-nwin // 8) * 8
         Sp = tuple(jnp.pad(a, ((0, 0), (0, nw8 - nwin), (0, 127)))
@@ -576,7 +646,7 @@ class MSM:
         )(*Sp)
         return (X[:, :1], Y[:, :1], Z[:, :1])
 
-    def _sort_gather(self, ptrows, dg, nw):
+    def _sort_gather(self, ptrows, dg, nw, signs=None):
         """Sorted point layout for the leaf kernel, gather-friendly.
 
         Instead of argsort + a minor-axis `take` of the [L, n] limb
@@ -593,20 +663,32 @@ class MSM:
         L = ptrows.shape[1] // 2
         n_pad, R, C = self.n_pad, self.R, self.C
         idx_bits = max(1, (n_pad - 1).bit_length())
-        assert self.c + idx_bits <= 32, "packed sort key overflows u32"
+        sbit = 1 if signs is not None else 0
+        dig_bits = max(1, self.nb.bit_length())
+        assert dig_bits + sbit + idx_bits <= 32, "sort key overflows u32"
         iota = jax.lax.broadcasted_iota(jnp.uint32, (nw, n_pad), 1)
-        key = (dg.astype(jnp.uint32) << np.uint32(idx_bits)) | iota
+        key = (dg.astype(jnp.uint32) << np.uint32(idx_bits + sbit)) | iota
+        if signs is not None:
+            key = key | (signs << np.uint32(idx_bits))
         skey = jax.lax.sort(key, dimension=1)
         orders = (skey & np.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-        d_sorted = (skey >> np.uint32(idx_bits)).astype(jnp.int32)
+        d_sorted = (skey >> np.uint32(idx_bits + sbit)).astype(jnp.int32)
         g = jnp.take(ptrows, orders, axis=0)        # [nw, n_pad, 2L] rows
         g = jnp.transpose(g.reshape(nw, R, C, 2 * L), (0, 2, 3, 1))
-        return g[:, :, :L], g[:, :, L:], d_sorted
+        sx, sy = g[:, :, :L], g[:, :, L:]
+        if signs is not None:
+            # sorted sign -> bit 17 of y limb-plane 0 (the leaf kernel
+            # negates flagged points; EC negation is free)
+            ssgn = (skey >> np.uint32(idx_bits)) & jnp.uint32(1)
+            ssgn = jnp.transpose(ssgn.reshape(nw, R, C), (0, 2, 1))
+            sy = sy.at[:, :, 0, :].add(ssgn << jnp.uint32(17))
+        return sx, sy, d_sorted
 
-    def _run_window_pallas(self, xs, ys, inf_mask, scalars):
-        G, F = self.G, self.G.F
-        n, n_pad, R, C, c = self.n, self.n_pad, self.R, self.C, self.c
-        pad = n_pad - n
+    def _prep_window(self, xs, ys, inf_mask, scalars):
+        """Pad inputs, extract (padded-to-nwin_pad) digits, and build the
+        row-major point mirror the chunk pipeline gathers from."""
+        n_pad, c = self.n_pad, self.c
+        pad = n_pad - xs.shape[-1]
         if pad:
             zpad = jnp.zeros(xs.shape[:-1] + (pad,), xs.dtype)
             xs = jnp.concatenate([xs, zpad], axis=-1)
@@ -616,12 +698,18 @@ class MSM:
             scalars = jnp.concatenate(
                 [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)],
                 axis=-1)
-
-        L = xs.shape[0]
-        nwin = self.nwin
-        nb = (1 << c) - 1
-        digits = jnp.where(inf_mask[None], 0, window_digits(scalars, c))
-        bvals = jnp.arange(1, 1 << c, dtype=jnp.int32)
+        wpad = self.nwin_pad - self.nwin
+        if self.signed:
+            digits, dsigns = window_digits_signed(scalars, c)
+            digits = jnp.where(inf_mask[None], 0, digits)
+            if wpad:
+                digits = jnp.pad(digits, ((0, wpad), (0, 0)))
+                dsigns = jnp.pad(dsigns, ((0, wpad), (0, 0)))
+        else:
+            digits = jnp.where(
+                inf_mask[None], 0,
+                window_digits(scalars, c, self.nwin_pad))
+            dsigns = None
         infu = inf_mask.astype(jnp.uint32)
 
         # row-major point mirror [n_pad, 2L]; the infinity flag rides in
@@ -629,66 +717,106 @@ class MSM:
         # so sorted rows carry it without a post-gather scatter-update
         ysf = ys.at[0].add(infu << jnp.uint32(16))
         ptrows = jnp.concatenate([xs.T, ysf.T], axis=1)
+        return ptrows, digits, dsigns
 
-        S_parts = []
-        for w0 in range(0, nwin, self.wchunk):
-            nw = min(self.wchunk, nwin - w0)
-            dg = digits[w0:w0 + nw]
-            sx, sy, d_sorted = self._sort_gather(ptrows, dg, nw)
+    def _window_chunk(self, ptrows, dg, sg=None):
+        """One window-chunk pipeline: sort+gather -> leaf prefix -> lane
+        offsets -> bucket extraction -> weighted bucket sum.  Traceable;
+        the single-chip path jits it ONCE and reuses the executable per
+        chunk (window chunks are shape-identical by construction)."""
+        L = ptrows.shape[1] // 2
+        R, C = self.R, self.C
+        nw = dg.shape[0]
+        bvals = jnp.arange(1, self.nb + 1, dtype=jnp.int32)
+        sx, sy, d_sorted = self._sort_gather(ptrows, dg, nw, sg)
 
-            prefix = self._leaf_prefix_pallas(sx, sy, nw)
+        prefix = self._leaf_prefix_pallas(sx, sy, nw)
 
-            # lane totals [L, nw, R] -> exclusive lane offsets (Pallas:
-            # whole batch VMEM-resident across the log2(R) scan steps)
-            totals = tuple(
-                jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
-            offs = self._lane_offsets_pallas(totals, nw)
+        # lane totals [L, nw, R] -> exclusive lane offsets (Pallas:
+        # whole batch VMEM-resident across the log2(R) scan steps)
+        totals = tuple(
+            jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
+        offs = self._lane_offsets_pallas(totals, nw)
 
-            # flat within-lane prefixes [L, nw, C*R], index j = cstep*R + r
-            flat = tuple(
-                jnp.moveaxis(a, 2, 0).reshape(L, nw, C * R) for a in prefix)
+        # flat within-lane prefixes [L, nw, C*R], index j = cstep*R + r
+        flat = tuple(
+            jnp.moveaxis(a, 2, 0).reshape(L, nw, C * R) for a in prefix)
 
-            ends = jax.vmap(
-                lambda d: jnp.searchsorted(d, bvals, side="right"))(
-                    d_sorted) - 1
-            starts = jax.vmap(
-                lambda d: jnp.searchsorted(d, bvals, side="left"))(
-                    d_sorted) - 1
+        ends = jax.vmap(
+            lambda d: jnp.searchsorted(d, bvals, side="right"))(
+                d_sorted) - 1
+        starts = jax.vmap(
+            lambda d: jnp.searchsorted(d, bvals, side="left"))(
+                d_sorted) - 1
 
-            def prefix_total(i, flat=flat, offs=offs, nw=nw):
-                gi = jnp.maximum(i, 0)
-                j = (gi % C) * R + gi // C
-                idx = jnp.broadcast_to(j[None], (L,) + j.shape)
-                P = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
-                lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
-                O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
-                T = self.GC.add(P, O)
-                # empty segments (i < 0) -> identity CLASS: X = Z = 0
-                # (completeness only needs Y != 0, which a real point has)
-                valid = (i >= 0)[None]
-                return (jnp.where(valid, T[0], 0), T[1],
-                        jnp.where(valid, T[2], 0))
+        def prefix_total(i):
+            gi = jnp.maximum(i, 0)
+            j = (gi % C) * R + gi // C
+            idx = jnp.broadcast_to(j[None], (L,) + j.shape)
+            P = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
+            lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
+            O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
+            T = self.GC.add(P, O)
+            # empty segments (i < 0) -> identity CLASS: X = Z = 0
+            # (completeness only needs Y != 0, which a real point has)
+            valid = (i >= 0)[None]
+            return (jnp.where(valid, T[0], 0), T[1],
+                    jnp.where(valid, T[2], 0))
 
-            buckets = self.GC.add(prefix_total(ends),
-                                  self.GC.neg(prefix_total(starts)))
+        buckets = self.GC.add(prefix_total(ends),
+                              self.GC.neg(prefix_total(starts)))
 
-            # S_w = sum_b b * bucket_b (Pallas: suffix scan + reduction
-            # with the bucket batch VMEM-resident)
-            S_parts.append(self._weighted_sum_pallas(buckets, nw))
+        # S_w = sum_b b * bucket_b (Pallas: suffix scan + reduction
+        # with the bucket batch VMEM-resident)
+        return self._weighted_sum_pallas(buckets, nw)
 
+    def _finish_window(self, S_parts):
         S = tuple(jnp.concatenate([p[k] for p in S_parts], axis=1)
                   for k in range(3))
         # Horner fold in projective; convert to the Jacobian convention
-        # the rest of the stack (to_affine etc) consumes
+        # the rest of the stack (to_affine etc) consumes.  Padded top
+        # windows hold the identity class and fold away harmlessly.
         return self.GC.to_jacobian(self._horner_fold_pallas(S))
+
+    def _run_window_pallas(self, xs, ys, inf_mask, scalars):
+        """Whole MSM as ONE traceable graph (the shard_map path needs a
+        single function; the single-chip path uses _run_window_chunked
+        so chunks share one compiled executable)."""
+        ptrows, digits, dsigns = self._prep_window(
+            xs, ys, inf_mask, scalars)
+        S_parts = []
+        for w0 in range(0, self.nwin_pad, self.wchunk):
+            dg = digits[w0:w0 + self.wchunk]
+            sg = dsigns[w0:w0 + self.wchunk] if self.signed else None
+            S_parts.append(self._window_chunk(ptrows, dg, sg))
+        return self._finish_window(S_parts)
+
+    def _run_window_chunked(self, xs, ys, inf_mask, scalars):
+        """Host-orchestrated variant: prep / chunk / finish are separate
+        jits and every chunk reuses ONE compiled executable — the
+        shipped HLO and the compile wall-clock shrink by the chunk
+        count (the 2^20 all-windows graph was a ~14-minute compile),
+        and peak HBM holds one chunk's intermediates, not all windows'.
+        Dispatch stays async (no host syncs between chunks)."""
+        ptrows, digits, dsigns = self._prep_jit(xs, ys, inf_mask, scalars)
+        S_parts = []
+        for w0 in range(0, self.nwin_pad, self.wchunk):
+            dg = digits[w0:w0 + self.wchunk]
+            if self.signed:
+                sg = dsigns[w0:w0 + self.wchunk]
+                S_parts.append(self._chunk_jit(ptrows, dg, sg))
+            else:
+                S_parts.append(self._chunk_jit(ptrows, dg))
+        return self._finish_jit(S_parts)
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_cache(G, n, scalar_limbs, c, lanes):
-    return MSM(G, n, scalar_limbs, c, lanes)
+def _msm_cache(G, n, scalar_limbs, c, lanes, signed):
+    return MSM(G, n, scalar_limbs, c, lanes, signed=signed)
 
 
-def msm(G: CurveOps, xs, ys, inf_mask, scalars, c=None, lanes=None):
-    """One-shot MSM; plans are cached per (G, n, c, lanes)."""
-    plan = _msm_cache(G, xs.shape[-1], scalars.shape[0], c, lanes)
+def msm(G: CurveOps, xs, ys, inf_mask, scalars, c=None, lanes=None,
+        signed=False):
+    """One-shot MSM; plans are cached per (G, n, c, lanes, signed)."""
+    plan = _msm_cache(G, xs.shape[-1], scalars.shape[0], c, lanes, signed)
     return plan(xs, ys, inf_mask, scalars)

@@ -1,6 +1,7 @@
 """Dev driver: validate + time the Pallas windowed MSM on the TPU.
 
 Usage: python scripts/dev_msm_pallas.py [check|bench] [log2n] [c] [lanes]
+                                        [--signed]
 """
 
 import os
@@ -24,10 +25,12 @@ from gnark_tpu.ops.msm import MSM
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
-    log2n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    c = int(sys.argv[3]) if len(sys.argv) > 3 else None
-    lanes = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    args = [a for a in sys.argv[1:] if a != "--signed"]
+    signed = "--signed" in sys.argv[1:]
+    mode = args[0] if len(args) > 0 else "check"
+    log2n = int(args[1]) if len(args) > 1 else 12
+    c = int(args[2]) if len(args) > 2 else None
+    lanes = int(args[3]) if len(args) > 3 else None
 
     n = 1 << log2n
     curve = BN254
@@ -61,9 +64,11 @@ def main():
     inf = jnp.asarray(np.array(inf_flags))
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
-    plan = MSM(G, n, curve.fr.L, c=c, lanes=lanes, method="window_pallas")
-    print(f"plan: c={plan.c} nwin={plan.nwin} R={plan.R} C={plan.C} "
-          f"TILER={plan.TILER} wchunk={plan.wchunk}", flush=True)
+    plan = MSM(G, n, curve.fr.L, c=c, lanes=lanes, method="window_pallas",
+               signed=signed)
+    print(f"plan: c={plan.c} signed={plan.signed} nwin={plan.nwin} "
+          f"R={plan.R} C={plan.C} TILER={plan.TILER} wchunk={plan.wchunk}",
+          flush=True)
 
     t0 = time.perf_counter()
     out = plan(xs, ys, inf, sc)

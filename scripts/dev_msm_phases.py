@@ -63,22 +63,21 @@ def main():
     nb = (1 << cc) - 1
     L = curve.fp.L
 
-    @jax.jit
-    def digits_fn(scalars, inf_mask):
-        return jnp.where(inf_mask[None], 0, window_digits(scalars, cc))
+    prep = jax.jit(plan._prep_window)
+    ptrows, digits, dsigns = timeit("prep (digits + row mirror)",
+                                    prep, xs, ys, inf, sc)
 
-    digits = timeit("digits", digits_fn, sc, inf)
-
-    @jax.jit
-    def rows_fn(xs, ys, inf_mask):
-        infu = inf_mask.astype(jnp.uint32)
-        ysf = ys.at[0].add(infu << jnp.uint32(16))
-        return jnp.concatenate([xs.T, ysf.T], axis=1)
-
-    ptrows = timeit("row mirror", rows_fn, xs, ys, inf)
-
-    sg = jax.jit(lambda rows, dg: plan._sort_gather(rows, dg, nwin))
-    sx, sy, d_sorted = timeit("sort+gather (packed key)", sg, ptrows, digits)
+    nw = plan.wchunk
+    if plan.signed:
+        sg_fn = jax.jit(lambda rows, dg, sg: plan._sort_gather(
+            rows, dg, nw, sg))
+        sx, sy, d_sorted = timeit("sort+gather (packed key)", sg_fn,
+                                  ptrows, digits[:nw], dsigns[:nw])
+    else:
+        sg_fn = jax.jit(lambda rows, dg: plan._sort_gather(rows, dg, nw))
+        sx, sy, d_sorted = timeit("sort+gather (packed key)", sg_fn,
+                                  ptrows, digits[:nw])
+    nwin = nw  # phase timings below are per-chunk
 
     leaf = jax.jit(lambda a, b: plan._leaf_prefix_pallas(a, b, nwin))
     prefix = timeit("leaf kernel (pallas)", leaf, sx, sy)
