@@ -36,6 +36,26 @@ class SRS:
         K = _CurveKernels(self.curve)
         return K.g1_points_to_device(self.g1)
 
+    @functools.cached_property
+    def host_planes(self):
+        """Regular-form 16-bit limb planes of g1 as numpy (the native-C
+        commit path; building these must NOT touch the device — wide-
+        field device kernels cost minutes of XLA compile)."""
+        L = self.curve.fp.L
+        n = len(self.g1)
+        xs = np.zeros((L, n), np.uint32)
+        ys = np.zeros((L, n), np.uint32)
+        inf = np.zeros(n, bool)
+        for i, P in enumerate(self.g1):
+            if P is None:
+                inf[i] = True
+                continue
+            x, y = P
+            for l in range(L):
+                xs[l, i] = (x >> (16 * l)) & 0xFFFF
+                ys[l, i] = (y >> (16 * l)) & 0xFFFF
+        return xs, ys, inf
+
 
 def new_srs(curve, size: int, tau: int | None = None, rng=None,
             host: bool = False) -> SRS:
@@ -102,6 +122,18 @@ def commit(srs: SRS, coeffs: list, host: bool = False):
                 acc = host1.add(acc, host1.scalar_mul(P, c % q))
         return acc
     from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
+    if srs.curve.fp.L >= 24:
+        # wide-field (BW6) curves: same routing as groth16.prove — the
+        # native 64-bit CIOS Pippenger beats the 16-bit-limb device
+        # representation at 761/633-bit widths (docs/PERF.md)
+        from gnark_tpu.backend.native_field import native_msm
+        from gnark_tpu.native import solver_lib
+        if solver_lib() is not None:
+            k = len(coeffs)
+            xs, ys, inf = srs.host_planes          # numpy, no device work
+            sc = np.asarray(ints_to_limbs(coeffs, srs.curve.fr.L, q=q))
+            return native_msm(srs.curve, xs[:, :k], ys[:, :k], inf[:k],
+                              sc, coords_mont=False)
     K = _CurveKernels(srs.curve)
     arr = jnp.asarray(ints_to_limbs(coeffs, srs.curve.fr.L, q=q))
     return K.g1_to_host(commit_device(srs, arr))[0]

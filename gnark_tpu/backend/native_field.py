@@ -191,18 +191,36 @@ def nat_for(q: int) -> Nat:
     return Nat(q)
 
 
+def _msm_window(n: int, total_bits: int) -> int:
+    """Window width minimizing nwin*(n*A + 2*2^c*J) mmul-units for the
+    batch-affine core (A ~ 6.5 mmuls per leaf add incl. the batched-
+    inversion share, J ~ 16 per Jacobian bucket op).  Measured at
+    n = 2^17 / 377-bit scalars: c=12 -> 13.8 s vs the old fixed c=10's
+    21.3 s (docs/PERF.md)."""
+    def cost(cc):
+        nwin = -(-total_bits // cc)
+        return nwin * (n * 6.5 + 2 * (1 << cc) * 16)
+    return min(range(4, 17), key=cost)
+
+
 def native_msm(curve, xs_planes, ys_planes, inf_mask, scalars_planes,
-               c: int = 10, coords_mont: bool = False):
+               c: int | None = None, coords_mont: bool = False):
     """Host Pippenger MSM on the C core for wide-field curves.
 
     xs/ys: [Lp16, n] uint32/uint64 16-bit limb planes (regular form);
     scalars: [Lr16, n] planes (regular form).  Returns a host affine
     point or None.  Reference: gnark-crypto MultiExp (bucket method) —
     this is the CPU path the TPU's 16-bit limb layout can't beat at
-    761-bit field widths.
+    761-bit field widths.  Bucket accumulation is batch-affine (a
+    pairing tree with one shared inversion per round — msm_core.cpp);
+    GLV is deliberately NOT used here: halving the scalar bits doubles
+    the point count, so the dominant bits*n/c leaf term is invariant
+    (it only pays for single scalar-mul, where gnark-crypto uses it).
     """
     import sys
     assert sys.byteorder == "little"
+    if c is None:
+        c = _msm_window(xs_planes.shape[1], curve.fr.L * 16)
     from gnark_tpu.native import solver_lib
     lib = solver_lib()
     if lib is None:

@@ -169,6 +169,150 @@ void jac_add(const Field<N>& F, Jac<N>& P, const Jac<N>& Q) {
     std::memcpy(P.Z, Z3, sizeof(Z3));
 }
 
+// Batch-affine bucket accumulation (the gnark-crypto MultiExp trick,
+// restructured as a pairing tree): counting-sort points by window
+// digit, then log2(max-bucket-size) rounds of INDEPENDENT affine adds
+// within each bucket segment, every round sharing ONE batched modular
+// inversion.  An affine add costs ~6 mmuls (incl. the 3-mmul batched
+// inversion share) vs ~11 for the Jacobian mixed add.
+template <int N>
+struct AffineTree {
+    std::vector<u64> wx, wy;       // per-window work coords [n][N]
+    std::vector<uint8_t> valid;    // slot holds a point (not infinity)
+    std::vector<int64_t> start, cnt, perm, hist;
+    std::vector<u64> num, den, pref, dinv;
+    std::vector<int64_t> slot;     // inversion-batch slot -> output index
+
+    void init(int64_t n, int64_t nb) {
+        wx.resize(n * N); wy.resize(n * N);
+        valid.resize(n);
+        start.resize(nb + 1); cnt.resize(nb); hist.resize(nb);
+        perm.resize(n);
+        num.resize(n * N); den.resize(n * N);
+        pref.resize((n + 1) * N); dinv.resize(n * N);
+        slot.resize(n);
+    }
+};
+
+template <int N>
+inline u64 window_digit(const u64* s, int nlimbs_fr, int bit0, int c) {
+    int q = bit0 >> 6, sh = bit0 & 63;
+    u64 d = s[q] >> sh;
+    if (sh && q + 1 < nlimbs_fr) d |= s[q + 1] << (64 - sh);
+    return d & ((u64(1) << c) - 1);
+}
+
+// one pairing round over all segments; returns true if another round
+// is needed (some segment still has >1 element)
+template <int N>
+bool affine_round(const Field<N>& F, AffineTree<N>& T, int64_t nb) {
+    int64_t nsched = 0;       // entries in the inversion batch
+    bool more = false;
+    // schedule: for each segment pair (2j, 2j+1) -> slot j
+    for (int64_t b = 0; b < nb; b++) {
+        const int64_t k = T.cnt[b];
+        if (k < 2) continue;
+        const int64_t s0 = T.start[b];
+        const int64_t pairs = k / 2;
+        for (int64_t j = 0; j < pairs; j++) {
+            const int64_t ia = s0 + 2 * j, ib = ia + 1, io = s0 + j;
+            u64* xa = T.wx.data() + ia * N; u64* ya = T.wy.data() + ia * N;
+            u64* xb = T.wx.data() + ib * N; u64* yb = T.wy.data() + ib * N;
+            const bool va = T.valid[ia], vb = T.valid[ib];
+            if (!va || !vb) {           // copy the surviving operand
+                if (vb && !va) {
+                    std::memcpy(xa, xb, sizeof(u64) * N);
+                    std::memcpy(ya, yb, sizeof(u64) * N);
+                }
+                T.valid[io] = va || vb;
+                if (io != ia) {
+                    std::memcpy(T.wx.data() + io * N, xa, sizeof(u64) * N);
+                    std::memcpy(T.wy.data() + io * N, ya, sizeof(u64) * N);
+                }
+                continue;
+            }
+            u64 t[N];
+            if (std::memcmp(xa, xb, sizeof(u64) * N) == 0) {
+                F.add(ya, yb, t);
+                if (Field<N>::is_zero(t)) {     // P + (-P): cancels
+                    T.valid[io] = 0;
+                    continue;
+                }
+                // doubling: num = 3 x^2, den = 2 y
+                u64* nu = T.num.data() + nsched * N;
+                u64* de = T.den.data() + nsched * N;
+                F.mmul(xa, xa, t);
+                F.add(t, t, nu); F.add(nu, t, nu);
+                F.add(ya, ya, de);
+            } else {
+                // chord: num = yb - ya, den = xb - xa
+                F.sub(T.wy.data() + ib * N, ya, T.num.data() + nsched * N);
+                F.sub(xb, xa, T.den.data() + nsched * N);
+            }
+            // stage operands at the OUTPUT slot (safe: io <= ia)
+            if (io != ia) {
+                std::memcpy(T.wx.data() + io * N, xa, sizeof(u64) * N);
+                std::memcpy(T.wy.data() + io * N, ya, sizeof(u64) * N);
+            }
+            // stash the second operand's x at the pair slot for x3
+            T.slot[nsched] = (io << 1) | 0;
+            // keep xb accessible: move it alongside (reuse num/den
+            // staging: store xb into pref scratch region)
+            std::memcpy(T.pref.data() + nsched * N, xb, sizeof(u64) * N);
+            T.valid[io] = 1;
+            nsched++;
+        }
+        if (k & 1) {                    // odd leftover moves up
+            const int64_t ia = s0 + k - 1, io = s0 + pairs;
+            if (io != ia) {
+                std::memcpy(T.wx.data() + io * N,
+                            T.wx.data() + ia * N, sizeof(u64) * N);
+                std::memcpy(T.wy.data() + io * N,
+                            T.wy.data() + ia * N, sizeof(u64) * N);
+                T.valid[io] = T.valid[ia];
+            }
+        }
+        T.cnt[b] = pairs + (k & 1);
+        if (T.cnt[b] > 1) more = true;
+    }
+    if (nsched == 0) return more;
+    // batched inversion of the denominators (Montgomery domain):
+    // dinv[i] = prod_{j!=i} den[j] * (prod den)^-1
+    u64* pp = T.dinv.data();            // reuse dinv as the prefix array
+    // forward prefix products into dinv[(i)*N] shifted by one
+    u64 run[N];
+    std::memcpy(run, F.one, sizeof(run));
+    for (int64_t i = 0; i < nsched; i++) {
+        std::memcpy(pp + i * N, run, sizeof(run));
+        F.mmul(run, T.den.data() + i * N, run);
+    }
+    u64 treg[N], tinv[N], rinv[N];
+    F.from_mont(run, treg);
+    F.invmod(treg, tinv);
+    F.to_mont(tinv, rinv);
+    for (int64_t i = nsched - 1; i >= 0; i--) {
+        u64 di[N];
+        F.mmul(rinv, pp + i * N, di);                   // 1/den[i]
+        F.mmul(rinv, T.den.data() + i * N, rinv);
+        // lambda = num * 1/den; x3 = l^2 - xa - xb; y3 = l(xa - x3) - ya
+        const int64_t io = T.slot[i] >> 1;
+        u64* xa = T.wx.data() + io * N;
+        u64* ya = T.wy.data() + io * N;
+        const u64* xb = T.pref.data() + i * N;
+        u64 lam[N], x3[N], y3[N];
+        F.mmul(T.num.data() + i * N, di, lam);
+        F.mmul(lam, lam, x3);
+        F.sub(x3, xa, x3);
+        F.sub(x3, xb, x3);
+        F.sub(xa, x3, y3);
+        F.mmul(lam, y3, y3);
+        F.sub(y3, ya, y3);
+        std::memcpy(xa, x3, sizeof(x3));
+        std::memcpy(ya, y3, sizeof(y3));
+    }
+    return more;
+}
+
 template <int N>
 int64_t msm_run(const Field<N>& F, int64_t n,
                 const u64* xs, const u64* ys, const uint8_t* inf,
@@ -190,33 +334,55 @@ int64_t msm_run(const Field<N>& F, int64_t n,
         }
     }
 
-    std::vector<Jac<N>> buckets(nb);
+    AffineTree<N> T;
+    T.init(n, nb);
     Jac<N> acc;
     jac_set_inf(F, acc);
 
     for (int w = nwin - 1; w >= 0; w--) {
         if (w != nwin - 1)
             for (int k = 0; k < c; k++) jac_double(F, acc);
-        for (auto& b : buckets) jac_set_inf(F, b);
         const int bit0 = w * c;
+        // counting sort by digit: histogram, offsets, permute coords
+        std::fill(T.hist.begin(), T.hist.end(), 0);
         for (int64_t i = 0; i < n; i++) {
             if (inf[i]) continue;
-            // extract c-bit digit from the fr scalar (little-endian u64)
-            const u64* s = scalars + i * nlimbs_fr;
-            int q = bit0 >> 6, sh = bit0 & 63;
-            u64 d = s[q] >> sh;
-            if (sh && q + 1 < nlimbs_fr) d |= s[q + 1] << (64 - sh);
-            d &= (u64(1) << c) - 1;
-            if (d)
-                jac_add_mixed(F, buckets[d - 1], mx.data() + i * N,
-                              my.data() + i * N);
+            const u64 d = window_digit<N>(
+                scalars + i * nlimbs_fr, nlimbs_fr, bit0, c);
+            if (d) T.hist[d - 1]++;
         }
+        int64_t off = 0;
+        for (int64_t b = 0; b < nb; b++) {
+            T.start[b] = off;
+            T.cnt[b] = T.hist[b];
+            off += T.hist[b];
+            T.hist[b] = T.start[b];     // running fill cursor
+        }
+        T.start[nb] = off;
+        for (int64_t i = 0; i < n; i++) {
+            if (inf[i]) continue;
+            const u64 d = window_digit<N>(
+                scalars + i * nlimbs_fr, nlimbs_fr, bit0, c);
+            if (!d) continue;
+            const int64_t pos = T.hist[d - 1]++;
+            std::memcpy(T.wx.data() + pos * N, mx.data() + i * N,
+                        sizeof(u64) * N);
+            std::memcpy(T.wy.data() + pos * N, my.data() + i * N,
+                        sizeof(u64) * N);
+            T.valid[pos] = 1;
+        }
+        // pairing-tree rounds until every segment holds <= 1 element
+        while (affine_round(F, T, nb)) {}
+
         // weighted reduction: running suffix + sum of suffixes
+        // (buckets are affine now -> mixed adds)
         Jac<N> run, sum;
         jac_set_inf(F, run);
         jac_set_inf(F, sum);
         for (int64_t b = nb - 1; b >= 0; b--) {
-            jac_add(F, run, buckets[b]);
+            if (T.cnt[b] > 0 && T.valid[T.start[b]])
+                jac_add_mixed(F, run, T.wx.data() + T.start[b] * N,
+                              T.wy.data() + T.start[b] * N);
             jac_add(F, sum, run);
         }
         jac_add(F, acc, sum);

@@ -148,12 +148,19 @@ class MSM:
                 if baseF.L >= 24:
                     method = "window"
                 elif baseF is not G.F:
-                    # tower fields (fp2 G2): the windowed graph over
-                    # 2L-limb elements exceeds the remote-compile
-                    # payload cap (HTTP 413 at 2^16); the fused ladder
-                    # keeps the shipped HLO small and is one MSM of
-                    # five in a Groth16 prove
-                    method = "ladder_pallas"
+                    # tower fields (fp2 G2): the all-windows graph over
+                    # 2L-limb elements exceeded the remote-compile
+                    # payload cap (HTTP 413 at 2^16).  The per-chunk-jit
+                    # orchestration ships <=8 windows per module, which
+                    # should fit — opt in via GNARK_TPU_G2_WINDOWED=1
+                    # (the fp2 ladder at 2^16 is ~4 s, the dominant term
+                    # of the e2e prove; windowed projects ~0.6 s).
+                    import os as _os
+                    if _os.environ.get("GNARK_TPU_G2_WINDOWED") and \
+                            n >= 8192:
+                        method = "window_pallas"
+                    else:
+                        method = "ladder_pallas"
                 else:
                     method = "window_pallas" if n >= 8192 else "ladder_pallas"
             elif n <= LADDER_THRESHOLD:
