@@ -345,17 +345,25 @@ class R1CSBuilder:
         return m
 
     def cmp(self, a, b):
-        """1 if a > b, 0 if equal, -1 (i.e. q-1) if a < b."""
+        """1 if a > b, 0 if equal, -1 (i.e. q-1) if a < b.
+
+        Semantics of frontend/cs/r1cs/api.go:459 (most significant
+        differing bit decides) at 2 constraints/bit instead of the
+        reference's ~11: both bits are boolean, so d = a_i - b_i is a
+        free linear term in {-1, 0, 1}, d^2 is a 1-constraint
+        inequality flag (boolean by construction), and scanning
+        lsb->msb with an overwrite-select leaves the most significant
+        d in res.
+        """
         nb = self.q.bit_length()
         ba = self.to_binary(a, nb)
         bb = self.to_binary(b, nb)
         res = Variable(lc_const(self.table, 0))
-        for i in range(nb - 1, -1, -1):
-            # first differing bit (scanning msb->lsb) decides
-            gt = self.and_(ba[i], self.is_zero(bb[i]))
-            lt = self.and_(bb[i], self.is_zero(ba[i]))
-            m = self.select(gt, 1, self.select(lt, -1 % self.q, 0))
-            res = self.select(self.is_zero(res), m, res)
+        for i in range(nb):
+            d = self.sub(ba[i], bb[i])
+            neq = self.mul(d, d)
+            self.mark_boolean(neq)
+            res = self.select(neq, d, res)
         return res
 
     # ---- assertions ---------------------------------------------------------------

@@ -349,15 +349,20 @@ class SCSBuilder:
         return m
 
     def cmp(self, a, b):
+        """Most-significant-differing-bit comparison (semantics of
+        frontend/cs/scs/api.go Cmp) via the cheap formulation: with
+        boolean bits, d = a_i - b_i is in {-1, 0, 1}, d^2 flags
+        inequality, and an lsb->msb overwrite-select keeps the most
+        significant d.  ~5 gates/bit vs the reference's ~12."""
         nb = self.q.bit_length()
         ba = self.to_binary(a, nb)
         bb = self.to_binary(b, nb)
         res = self._term(0)
-        for i in range(nb - 1, -1, -1):
-            gt = self.and_(ba[i], self.is_zero(bb[i]))
-            lt = self.and_(bb[i], self.is_zero(ba[i]))
-            m = self.select(gt, 1, self.select(lt, -1 % self.q, 0))
-            res = self.select(self.is_zero(res), m, res)
+        for i in range(nb):
+            d = self.sub(ba[i], bb[i])
+            neq = self.mul(d, d)
+            self.mark_boolean(neq)
+            res = self.select(neq, d, res)
         return res
 
     # ---- assertions ------------------------------------------------------------------

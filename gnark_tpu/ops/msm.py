@@ -39,6 +39,13 @@ import numpy as np
 
 from gnark_tpu.ops.ec import CurveOps
 
+# CPU-executability switch for the Pallas kernels: interpret mode runs
+# kernel bodies as plain XLA ops, letting the full windowed pipeline be
+# driven (slowly) on a CPU backend for correctness work when no TPU is
+# attached.  Not a performance path.
+import os as _os
+_INTERPRET = bool(_os.environ.get("GNARK_TPU_PALLAS_INTERPRET"))
+
 
 def window_digits(scalars, c: int, nwin: int | None = None):
     """uint32[Ls, n] regular-form scalars -> int32[nwin, n] window digits."""
@@ -326,6 +333,7 @@ class MSM:
                            memory_space=pltpu.VMEM)
         X, Y, Z = pl.pallas_call(
             kernel,
+            interpret=_INTERPRET,
             out_shape=(shape, shape, shape),
             grid=(n // TILE,),
             in_specs=[blk, blk,
@@ -494,6 +502,7 @@ class MSM:
         scratch = pltpu.VMEM((L, T), jnp.uint32)
         return pl.pallas_call(
             kernel,
+            interpret=_INTERPRET,
             grid=(nw, R // T, C),
             out_shape=(shape, shape, shape),
             in_specs=[blk, blk],
@@ -552,6 +561,7 @@ class MSM:
                             memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kernel,
+            interpret=_INTERPRET,
             grid=(nw8 // WB,),
             out_shape=(shape, shape, shape),
             in_specs=[spec] * 3,
@@ -612,6 +622,7 @@ class MSM:
                             memory_space=pltpu.VMEM)
         X, Y, Z = pl.pallas_call(
             kernel,
+            interpret=_INTERPRET,
             grid=(nw8 // WB,),
             out_shape=(shape, shape, shape),
             in_specs=[spec] * 3,
@@ -647,6 +658,7 @@ class MSM:
         spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         X, Y, Z = pl.pallas_call(
             kernel,
+            interpret=_INTERPRET,
             out_shape=(shape, shape, shape),
             in_specs=[spec] * 3,
             out_specs=(spec, spec, spec),

@@ -185,6 +185,135 @@ class ExpCircuit(Circuit):
         api.assert_is_equal(self.y, out)
 
 
+class AssertEqualCircuit(Circuit):
+    """internal/backend/circuits/assertequal.go"""
+    x = Secret()
+    y = Public()
+
+    def define(self, api):
+        api.assert_is_equal(self.x, self.y)
+
+
+class NoComputationCircuit(Circuit):
+    """internal/backend/circuits/nocomputation.go: no computational
+    constraints, just an input-to-input assertion."""
+    a = Public()
+    b = Secret()
+
+    def define(self, api):
+        api.assert_is_equal(self.a, self.b)
+
+
+class DeterminismCircuit(Circuit):
+    """internal/backend/circuits/determinism.go"""
+    x = Secret(shape=(5,))
+    z = Public()
+
+    def define(self, api):
+        a = api.add(self.x[0], self.x[0], self.x[1], self.x[1],
+                    self.x[2], self.x[2], self.x[3], self.x[3],
+                    self.x[4], self.x[4])
+        api.assert_is_equal(api.mul(a, a), self.z)
+
+
+class CmpCorpusCircuit(Circuit):
+    """internal/backend/circuits/cmp.go (result pinned to 1 so the
+    expectation is field-independent)."""
+    a = Secret()
+    b = Public()
+
+    def define(self, api):
+        api.assert_is_equal(api.cmp(self.a, self.b), 1)
+
+
+class BooleanCircuit(Circuit):
+    """internal/backend/circuits/boolean.go: AssertIsBoolean on a plain
+    variable, linear add/sub expressions and a constant multiple."""
+    a = Secret()
+    b = Secret()
+    c = Secret()
+    d = Secret()
+
+    def define(self, api):
+        api.assert_is_boolean(self.c)
+        api.assert_is_boolean(api.add(self.a, self.b))
+        api.assert_is_boolean(api.sub(self.a, self.b))
+        api.assert_is_boolean(api.mul(self.d, 2))
+
+
+class OrXorAndMulCircuit(Circuit):
+    """internal/backend/circuits/orxorandmul.go: products of logic-op
+    outputs (booleans by marking, not by constraint) stay boolean."""
+    a = Secret()
+    b = Secret()
+
+    def define(self, api):
+        p = api.mul(api.xor(self.a, self.b), self.a)
+        q = api.mul(api.or_(self.a, self.b), self.a)
+        r = api.mul(api.and_(self.a, self.b), self.a)
+        api.assert_is_boolean(p)
+        api.assert_is_boolean(q)
+        api.assert_is_boolean(r)
+
+
+class RangeCheckCircuit(Circuit):
+    """internal/backend/circuits/range.go (variable bound)."""
+    x = Secret()
+    y = Public()
+    bound = Public()
+
+    def define(self, api):
+        c1 = api.mul(self.x, self.y)
+        c2 = api.mul(c1, self.y)
+        c3 = api.add(self.x, self.y)
+        api.assert_is_less_or_equal(c2, self.bound)
+        api.assert_is_less_or_equal(c3, self.bound)
+
+
+class ReferenceSmallCircuit(Circuit):
+    """internal/backend/circuits/reference_small.go: x <- x^2 five times."""
+    x = Secret()
+    y = Public()
+
+    def define(self, api):
+        v = self.x
+        for _ in range(5):
+            v = api.mul(v, v)
+        api.assert_is_equal(v, self.y)
+
+
+def _mul_by_7(q, inputs, n_out):
+    return [inputs[0] * 7 % q]
+
+
+def _make_3(q, inputs, n_out):
+    return [3]
+
+
+def _vector_double(q, inputs, n_out):
+    return [v * 2 % q for v in inputs]
+
+
+class HintCorpusCircuit(Circuit):
+    """internal/backend/circuits/hint.go: nullary + unary + vector hints,
+    each cross-checked against an in-circuit recomputation."""
+    a = Secret()
+    b = Public()
+    v = Secret(shape=(3,))
+    w = Public(shape=(3,))
+
+    def define(self, api):
+        (a7,) = api.new_hint(_mul_by_7, 1, self.a)
+        api.assert_is_equal(a7, api.mul(self.a, 7))
+        api.assert_is_equal(a7, self.b)
+        (c,) = api.new_hint(_make_3, 1)
+        api.assert_is_equal(api.mul(c, c), 9)
+        doubled = api.new_hint(_vector_double, 3, *list(self.v))
+        for i in range(3):
+            api.assert_is_equal(api.mul(2, self.v[i]), self.w[i])
+            api.assert_is_equal(doubled[i], self.w[i])
+
+
 CORPUS = [
     _case(AddCircuit, dict(a=4, b=5, c=12), dict(a=4, b=5, c=13)),
     _case(SubCircuit, dict(a=11, c=6), dict(a=11, c=7)),
@@ -213,4 +342,17 @@ CORPUS = [
     _case(AssertBooleanCircuit, dict(a=1, b=2), dict(a=2, b=4)),
     _case(LessOrEqualConstCircuit, dict(a=99, b=99), dict(a=101, b=101)),
     _case(ExpCircuit, dict(x=3, e=5, y=243), dict(x=3, e=5, y=242)),
+    _case(AssertEqualCircuit, dict(x=3, y=3), dict(x=5, y=2)),
+    _case(NoComputationCircuit, dict(a=42, b=42), dict(a=42, b=43)),
+    _case(DeterminismCircuit, dict(x=[1, 2, 3, 4, 5], z=900),
+          dict(x=[1, 1, 1, 1, 1], z=900)),
+    _case(CmpCorpusCircuit, dict(a=5, b=3), dict(a=3, b=5)),
+    _case(BooleanCircuit, dict(a=1, b=0, c=1, d=0),
+          dict(a=1, b=1, c=0, d=0)),
+    _case(OrXorAndMulCircuit, dict(a=1, b=0), dict(a=2, b=1)),
+    _case(RangeCheckCircuit, dict(x=10, y=4, bound=161),
+          dict(x=11, y=4, bound=161)),
+    _case(ReferenceSmallCircuit, dict(x=2, y=2 ** 32), dict(x=3, y=2 ** 32)),
+    _case(HintCorpusCircuit, dict(a=2, b=14, v=[1, 2, 3], w=[2, 4, 6]),
+          dict(a=2, b=15, v=[1, 2, 3], w=[2, 4, 6])),
 ]

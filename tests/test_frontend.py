@@ -196,6 +196,22 @@ class CmpC(Circuit):
 def test_cmp():
     check(CmpC, {"a": 5, "b": 3, "r": 1})
     check(CmpC, {"a": 3, "b": 5, "r": Q - 1}, {"a": 3, "b": 3, "r": 1})
+    check(CmpC, {"a": 7, "b": 7, "r": 0}, {"a": Q - 1, "b": 1, "r": Q - 1})
+
+
+@pytest.mark.slow
+def test_cmp_scs():
+    from gnark_tpu.backend import scs_solver
+    cs = compile_circuit(CmpC(), BN254, scheme="plonk")
+    for a, b, r in ((5, 3, 1), (3, 5, Q - 1), (3, 3, 0), (Q - 1, 1, 1)):
+        c = CmpC()
+        c.a, c.b, c.r = a, b, r
+        w = Witness.from_assignment(c, BN254)
+        assert scs_solver.is_solved(cs, w.values), (a, b, r)
+    c = CmpC()
+    c.a, c.b, c.r = 3, 3, 1
+    w = Witness.from_assignment(c, BN254)
+    assert not scs_solver.is_solved(cs, w.values)
 
 
 class HintC(Circuit):
