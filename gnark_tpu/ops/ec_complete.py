@@ -36,6 +36,15 @@ class CompleteOps:
     def __init__(self, F, b):
         self.F = F
         self.b = b
+        # small signed representative of a constant mod q, or None
+        def small(c, q):
+            c = c % q
+            if c < (1 << 12):
+                return c
+            if q - c < (1 << 12):
+                return -(q - c)
+            return None
+
         spec = getattr(F, "spec", None)
         if spec is not None:                      # fp
             q = spec.modulus
@@ -46,6 +55,10 @@ class CompleteOps:
                 int(b3m >> (16 * i)) & 0xFFFF for i in range(spec.L))
             self._b3_bytes = tuple(
                 int(b3m >> (8 * i)) & 0xFF for i in range(2 * spec.L))
+            # every supported curve has tiny 3b (9/12/3/-3/15): the
+            # small-const route is ~L mults + a cond-sub cascade instead
+            # of a full const-mul + REDC (see FieldOps.mul_small)
+            self._b3_small = small(b3, q)
             self._fp2 = False
         else:                                     # fp2 (Fp2Ops)
             base = F.base
@@ -61,6 +74,9 @@ class CompleteOps:
                 tuple(int((c * R % q) >> (8 * i)) & 0xFF
                       for i in range(2 * base.spec.L))
                 for c in b3)
+            s0, s1 = small(b3[0], q), small(b3[1], q)
+            self._b3_small = ((s0, s1)
+                              if s0 is not None and s1 is not None else None)
             self._fp2 = True
 
     # -- constructors / conversions -------------------------------------------
@@ -109,6 +125,10 @@ class CompleteOps:
     def _mul_b3(self, a):
         F = self.F
         if not self._fp2:
+            if self._b3_small is not None:
+                k = self._b3_small
+                r = F.mul_small(a, abs(k))
+                return F.neg(r) if k < 0 else r
             if F._mxu_on():
                 t = F._mul_wide_const_mxu(a, self._b3_bytes)
             else:
@@ -117,6 +137,17 @@ class CompleteOps:
         # fp2: (a0 + u a1)(c0 + u c1) with constant (c0, c1)
         base = F.base
         a0, a1 = F._split(a)
+        if self._b3_small is not None:
+            s0, s1 = self._b3_small
+
+            def smul(x, s):
+                r = base.mul_small(x, abs(s))
+                return base.neg(r) if s < 0 else r
+
+            t00, t11 = smul(a0, s0), smul(a1, s1)
+            t01, t10 = smul(a0, s1), smul(a1, s0)
+            return F._join(base.add(t00, F._mul_beta(t11)),
+                           base.add(t01, t10))
         if base._mxu_on():
             c0b, c1b = self._b3_bytes
             wide = lambda x, cb: base._mul_wide_const_mxu(x, cb)

@@ -254,6 +254,43 @@ class FieldOps:
     def double(self, a):
         return self.add(a, a)
 
+    def mul_small(self, a, k: int):
+        """a * k for a small plain python int 0 <= k < 2^12, WITHOUT
+        Montgomery machinery: per-limb product + carry propagation +
+        a log2(k) cascade of conditional subtractions of 2^j * p.
+
+        A Montgomery-form input stays Montgomery form (k is a plain
+        integer, not R-scaled), so this implements const-muls by small
+        field constants — notably the RCB b3 = 3b multiplies (b3 = 9 /
+        12 / 3 / 15 on the supported curves) at ~L mults instead of a
+        full L^2-product const-mul + REDC.  Scalar literals only
+        (Pallas-safe).  Input must be canonical (< p).
+        """
+        if k == 0:
+            return jnp.zeros_like(a)
+        if k == 1:
+            return a
+        assert 2 <= k < (1 << 12)
+        L = self.L
+        # per-limb product (< 2^28) then carry-propagate; the carry out
+        # of the top limb needs one extra plane (result < k*p < 2^12 R)
+        out = []
+        carry = jnp.zeros(a.shape[1:], _U32)
+        for i in range(L):
+            v = a[i] * jnp.uint32(k) + carry
+            out.append(v & _MASK)
+            carry = v >> W
+        r = jnp.stack(out + [carry])                  # [L+1, ...]
+        # conditional subtraction cascade: r < k*p; subtract 2^j p for
+        # j = floor(log2(k))..0 (each halves the residual bound)
+        p = self.spec.modulus
+        for j in range(k.bit_length() - 1, -1, -1):
+            mp = (p << j)
+            mp_limbs = tuple((mp >> (16 * i)) & 0xFFFF for i in range(L + 1))
+            diff, borrow = _sub_const_borrow(r, mp_limbs)
+            r = jnp.where((borrow == 0)[None], diff, r)
+        return r[:L]
+
     def _mul_wide(self, a, b):
         """Full product columns [2L+1, ...] (lazy, each < 2^22) of
         canonical inputs.
@@ -290,6 +327,8 @@ class FieldOps:
             hi = jnp.pad(prod >> W, ((i + 1, L - i),) + tail_pad)
             contrib = lo + hi
             cols = contrib if cols is None else cols + contrib
+        if cols is None:                       # constant is 0
+            cols = jnp.zeros((2 * L + 1,) + a.shape[1:], _U32)
         return cols
 
     def _mul_wide_scan(self, a, b):
@@ -342,67 +381,72 @@ class FieldOps:
         return jnp.stack([lo, hi], axis=1).reshape(
             (2 * x.shape[0],) + x.shape[1:])
 
-    def _fold_bytes(self, y):
-        """[2K, ...] byte-radix lazy columns (u32) -> [K, ...] 16-bit-radix
-        lazy columns: out[j] = y[2j] + 256 * y[2j+1]."""
-        K2 = y.shape[0]
-        ev = y[0:K2:2]
-        od = y[1:K2:2]
-        return ev + (od << jnp.uint32(8))
-
     @staticmethod
-    def _conv_mat(byte_vals, K):
-        """[K, len(byte_vals)] bf16 byte-conv (Toeplitz) matrix,
-        mat[k, i] = byte_vals[k - i], built from iota + scalar literals
-        only (no captured array constants — Pallas-kernel safe; XLA
-        constant-folds this whole construction outside Pallas)."""
+    def _conv_mat_split(byte_vals, K):
+        """[K, len(byte_vals)] bf16 byte-conv (Toeplitz) matrix with the
+        EVEN output taps in rows [0, K/2) and the ODD taps in rows
+        [K/2, K): mat[j, i] = byte_vals[2j - i] for j < K/2 and
+        byte_vals[2(j - K/2) + 1 - i] above.  The halves make the
+        byte->16-bit fold two contiguous row slices of one matmul (a
+        strided slice of the result has no Mosaic lowering inside
+        Pallas kernels).  Built from iota + scalar literals only (no
+        captured array constants — Pallas-kernel safe; XLA constant-
+        folds the construction outside Pallas)."""
         L2 = len(byte_vals)
+        H = K // 2
         row = jax.lax.broadcasted_iota(jnp.int32, (K, L2), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (K, L2), 1)
-        d = row - col
+        tap = jnp.where(row < H, 2 * row, 2 * (row - H) + 1)
+        d = tap - col
         mat = jnp.zeros((K, L2), jnp.bfloat16)
         for k, v in enumerate(byte_vals):
             if v:
                 mat = jnp.where(d == k, jnp.bfloat16(v), mat)
         return mat
 
-    def _mxu_const_mul(self, x_bytes, byte_vals, K):
-        """Byte-conv product with a constant via MXU matmul.
+    def _mxu_const_mul_folded(self, x_bytes, byte_vals, K):
+        """Byte-conv product with a constant via MXU matmul, folded to
+        16-bit-radix lazy columns.
 
         x_bytes: [2L, ...] u32 byte planes (< 2^8); byte_vals: python
-        ints of the constant's 2L bytes.  Returns [K, ...] u32 lazy
-        byte columns (< 2L * 255^2 < 2^24, exact through
-        bf16 x bf16 -> f32).
+        ints of the constant's 2L bytes; K: number of byte taps (even).
+        Returns [K/2, ...] u32 lazy 16-bit-radix columns
+        (< 257 * 2L * 255^2 < 2^32, exact: the dot accumulates in f32
+        below 2^24 and the <<8 fold happens in uint32).
 
         Rank-N dot_general (contract x_bytes dim 0, keep the batch dims
         free) — no reshape, which keeps the op Mosaic-friendly inside
         Pallas kernels."""
-        mat = self._conv_mat(byte_vals, K)
-        xb = x_bytes.astype(jnp.bfloat16)
+        mat = self._conv_mat_split(byte_vals, K)
+        # Mosaic has no direct u32<->bf16/f32 casts: hop through int32
+        # (values < 2^8 and < 2^24 respectively, so every hop is exact)
+        xb = x_bytes.astype(jnp.int32).astype(jnp.float32).astype(
+            jnp.bfloat16)
         out = jax.lax.dot_general(
             mat, xb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return out.astype(jnp.uint32)
+        out = out.astype(jnp.int32).astype(jnp.uint32)
+        H = K // 2
+        return out[:H] + (out[H:] << jnp.uint32(8))
 
     def _mul_wide_const_mxu(self, a, c_bytes):
         """MXU variant of _mul_wide_const: byte-conv matmul with the
         constant's 2L bytes, folded back to 2L 16-bit-radix lazy
-        columns (< 2^30 — the same lazy invariant _redc consumes).
+        columns (< 2^32 — the same lazy invariant _redc consumes).
         c_bytes: python-int tuple of the constant's 2L bytes."""
-        y = self._mxu_const_mul(self._to_bytes(a), c_bytes, 4 * self.L)
-        return self._fold_bytes(y)
+        return self._mxu_const_mul_folded(
+            self._to_bytes(a), c_bytes, 4 * self.L)
 
     def _redc_mxu(self, t):
         """REDC with the two const-multiplies on the MXU (see __init__)."""
         L = self.L
         L2 = 2 * L
         t_low, c_low = _propagate(t[:L])
-        # m_pinv is the L2-row (mod R) truncation; m_p the full 2*L2
-        m8 = self._mxu_const_mul(self._to_bytes(t_low),
-                                 self._pinv_bytes, L2)
-        m, _ = _propagate(self._fold_bytes(m8))        # m mod R, canonical
-        mp = self._fold_bytes(
-            self._mxu_const_mul(self._to_bytes(m), self._p_bytes, 2 * L2))
+        # m_pinv is the L2-tap (mod R) truncation; m_p the full 2*L2
+        m, _ = _propagate(self._mxu_const_mul_folded(
+            self._to_bytes(t_low), self._pinv_bytes, L2))  # m mod R
+        mp = self._mxu_const_mul_folded(
+            self._to_bytes(m), self._p_bytes, 2 * L2)
         # mp columns are lazy (< 2^30): same invariants as _redc below
         _, carry = _propagate(t_low + mp[:L])
         high = t[L:2 * L] + mp[L:2 * L]
