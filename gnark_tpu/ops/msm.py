@@ -191,9 +191,18 @@ class MSM:
             if signed:
                 # signed digits: |d| <= 2^(c-1) — half the buckets of an
                 # unsigned c-bit window, so c=9 matches the c=8 bucket-
-                # kernel cost with 29 windows instead of 32 (BN254)
+                # kernel cost with 29 windows instead of 32 (BN254).
+                # cap at c=10 (nb = 512 bucket lanes): the weighted-sum
+                # kernel's Mosaic compile blows up at >= 1024 lanes
                 if c is None:
-                    c = 9
+                    def cost(cc):
+                        nwin = -(-(total_bits + 1) // cc)
+                        nb = 1 << (cc - 1)
+                        lane = max(1, (lanes - 1).bit_length()) * lanes * 26
+                        bucket = (2 * cc + 2) * nb * 26
+                        return nwin * (n * 11 + lane + bucket)
+
+                    c = min(range(6, 11), key=cost)
                 self.c = c
                 self.nwin = -(-(total_bits + 1) // c)
                 self.nb = 1 << (c - 1)

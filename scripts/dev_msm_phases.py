@@ -21,13 +21,26 @@ from gnark_tpu.ops import msm as msm_mod
 from gnark_tpu.ops.msm import MSM, window_digits, _roll_scan, _reduce
 
 
+def _force(out):
+    """Force completion WITHOUT fetching whole arrays: a 1-element slice
+    depends on the full buffer, so fetching 4 bytes blocks until the
+    computation ran (block_until_ready alone is not sufficient over the
+    remote-TPU tunnel, and full np.asarray fetches of 268 MB
+    intermediates measure the tunnel, not the kernel)."""
+    def one(a):
+        if hasattr(a, "shape"):
+            np.asarray(a[(0,) * a.ndim])
+        return a
+    jax.tree_util.tree_map(one, out)
+
+
 def timeit(label, fn, *args, iters=3):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        jax.tree_util.tree_map(lambda a: np.asarray(a) if hasattr(a, "shape") else a, out)
+        _force(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{label:28s} {dt*1e3:8.1f} ms", flush=True)
     return out
