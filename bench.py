@@ -64,17 +64,23 @@ def main():
     scalars = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
-    plan = MSM(G, n, curve.fr.L, method="window_pallas")
+    plan = MSM(G, n, curve.fr.L, method="window_pallas", signed=True)
     out = plan(xs, ys, inf, sc)  # compile + first run
     np.asarray(out[0])  # force full execution (block_until_ready is not
     # sufficient over the remote-TPU tunnel: only a device-to-host fetch
     # guarantees the computation ran to completion)
 
-    iters = 3
+    # dispatch iters back-to-back and fetch ONE element of the LAST
+    # output only: the device stream executes in order, so the last
+    # result completing implies all did — this amortizes the ~32 ms
+    # dispatch+fetch round-trip of the remote-TPU tunnel (measured by
+    # scripts/dev_msm_phases.py measure_null) instead of paying it per
+    # iteration, which would understate kernel throughput ~30%.
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         out = plan(xs, ys, inf, sc)
-        np.asarray(out[0])
+    np.asarray(out[0][(0,) * out[0].ndim])
     dt = (time.perf_counter() - t0) / iters
 
     pts_per_s = n / dt

@@ -331,6 +331,30 @@ class FieldOps:
             cols = jnp.zeros((2 * L + 1,) + a.shape[1:], _U32)
         return cols
 
+    def _mul_wide_const_low(self, a, c_ints):
+        """LOW-L product columns of a * const (truncated triangle): only
+        limb products with i + j < L contribute to columns [0, L) — the
+        m = t_low * p' (mod R) step of REDC needs nothing above, so this
+        skips ~half the products of the full const-mul."""
+        L = self.L
+        tail_pad = ((0, 0),) * (a.ndim - 1)
+        cols = None
+        for i in range(L):
+            ci = int(c_ints[i])
+            if ci == 0:
+                continue
+            hi_rows = L - 1 - i                 # rows j with i + j + 1 <= L-1
+            prod = a[:L - i] * jnp.uint32(ci)   # rows j with i + j <= L-1
+            lo = jnp.pad(prod & _MASK, ((i, 0),) + tail_pad)
+            contrib = lo
+            if hi_rows > 0:
+                hi = jnp.pad(prod[:hi_rows] >> W, ((i + 1, 0),) + tail_pad)
+                contrib = contrib + hi
+            cols = contrib if cols is None else cols + contrib
+        if cols is None:
+            cols = jnp.zeros((L,) + a.shape[1:], _U32)
+        return cols
+
     def _mul_wide_scan(self, a, b):
         """Rolled-loop variant of _mul_wide for wide fields: fori_loop
         over the L rows with dynamic-slice accumulation — O(L) graph,
@@ -462,9 +486,9 @@ class FieldOps:
         L = self.L
         big = self._big
         t_low, c_low = _propagate(t[:L])               # canonical t mod R
-        m = (self._mul_wide_const_scan(t_low, self._pinv_ints) if big
-             else self._mul_wide_const(t_low, self._pinv_ints))
-        m, _ = _propagate(m[:L])                       # m mod R, canonical
+        m = (self._mul_wide_const_scan(t_low, self._pinv_ints)[:L] if big
+             else self._mul_wide_const_low(t_low, self._pinv_ints))
+        m, _ = _propagate(m)                           # m mod R, canonical
         mp = (self._mul_wide_const_scan(m, self._p_ints) if big
               else self._mul_wide_const(m, self._p_ints))
 

@@ -755,7 +755,13 @@ class MSM:
         L = ptrows.shape[1] // 2
         R, C = self.R, self.C
         nw = dg.shape[0]
-        bvals = jnp.arange(1, self.nb + 1, dtype=jnp.int32)
+        # bucket b's sorted segment ends where digits <= b end, and
+        # starts right after bucket b-1's: ONE boundary array E_b
+        # (b = 0..nb) gives every bucket as the difference of adjacent
+        # global prefixes — half the gathers of the ends/starts pair,
+        # and empty buckets (E_b == E_{b-1}) cancel to the identity in
+        # the complete formulas without a validity select.
+        bvals = jnp.arange(0, self.nb + 1, dtype=jnp.int32)
         sx, sy, d_sorted = self._sort_gather(ptrows, dg, nw, sg)
 
         prefix = self._leaf_prefix_pallas(sx, sy, nw)
@@ -773,9 +779,6 @@ class MSM:
         ends = jax.vmap(
             lambda d: jnp.searchsorted(d, bvals, side="right"))(
                 d_sorted) - 1
-        starts = jax.vmap(
-            lambda d: jnp.searchsorted(d, bvals, side="left"))(
-                d_sorted) - 1
 
         def prefix_total(i):
             gi = jnp.maximum(i, 0)
@@ -785,14 +788,16 @@ class MSM:
             lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
             O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
             T = self.GC.add(P, O)
-            # empty segments (i < 0) -> identity CLASS: X = Z = 0
-            # (completeness only needs Y != 0, which a real point has)
+            # i < 0 (nothing at or below this digit) -> identity CLASS:
+            # X = Z = 0 (completeness needs Y != 0, which a point has)
             valid = (i >= 0)[None]
             return (jnp.where(valid, T[0], 0), T[1],
                     jnp.where(valid, T[2], 0))
 
-        buckets = self.GC.add(prefix_total(ends),
-                              self.GC.neg(prefix_total(starts)))
+        PE = prefix_total(ends)                      # [L, nw, nb+1]
+        buckets = self.GC.add(
+            tuple(a[:, :, 1:] for a in PE),
+            self.GC.neg(tuple(a[:, :, :-1] for a in PE)))
 
         # S_w = sum_b b * bucket_b (Pallas: suffix scan + reduction
         # with the bucket batch VMEM-resident)

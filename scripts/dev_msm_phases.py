@@ -34,7 +34,10 @@ def _force(out):
     jax.tree_util.tree_map(one, out)
 
 
-def timeit(label, fn, *args, iters=3):
+_NULL_MS = 0.0
+
+
+def timeit(label, fn, *args, iters=8):
     out = fn(*args)
     _force(out)
     t0 = time.perf_counter()
@@ -42,8 +45,22 @@ def timeit(label, fn, *args, iters=3):
         out = fn(*args)
         _force(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{label:28s} {dt*1e3:8.1f} ms", flush=True)
+    print(f"{label:28s} {dt*1e3:8.1f} ms   (-null: {dt*1e3-_NULL_MS:7.1f})",
+          flush=True)
     return out
+
+
+def measure_null():
+    """Dispatch + 1-element-fetch floor over the remote tunnel."""
+    global _NULL_MS
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.uint32)
+    _force(f(x))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        _force(f(x))
+    _NULL_MS = (time.perf_counter() - t0) / 8 * 1e3
+    print(f"{'null dispatch+fetch':28s} {_NULL_MS:8.1f} ms", flush=True)
 
 
 def main():
@@ -69,8 +86,10 @@ def main():
     scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
+    measure_null()
     plan = MSM(G, n, curve.fr.L, c=c, lanes=lanes, method="window_pallas")
     print(f"plan: c={plan.c} nwin={plan.nwin} R={plan.R} C={plan.C}")
+    timeit("FULL plan (chunked)", lambda *a: plan(*a), xs, ys, inf, sc)
     cc, R, C, nwin = plan.c, plan.R, plan.C, plan.nwin
     n_pad = plan.n_pad
     nb = (1 << cc) - 1
