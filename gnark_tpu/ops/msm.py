@@ -190,19 +190,25 @@ class MSM:
                 lanes = 512          # VMEM tile width of the leaf kernel
             if signed:
                 # signed digits: |d| <= 2^(c-1) — half the buckets of an
-                # unsigned c-bit window, so c=9 matches the c=8 bucket-
-                # kernel cost with 29 windows instead of 32 (BN254).
-                # cap at c=10 (nb = 512 bucket lanes): the weighted-sum
-                # kernel's Mosaic compile blows up at >= 1024 lanes
+                # unsigned c-bit window, so c grows by one at the same
+                # bucket cost and the window count drops (BN254: 29
+                # signed c=9 windows vs 32 unsigned c=8).  The O(nb)
+                # weighted-sum fold makes the bucket phase ~4*nb adds
+                # (fold + tree-sum + extraction), so larger c pays; the
+                # hard cap is the 32-bit sort key (digit|sign|index).
                 if c is None:
+                    n_pad_est = -(-n // lanes) * lanes
+                    idx_bits = max(1, (n_pad_est - 1).bit_length())
+                    cmax = 32 - 1 - idx_bits   # digit bits (incl. +1 slack)
+
                     def cost(cc):
                         nwin = -(-(total_bits + 1) // cc)
                         nb = 1 << (cc - 1)
                         lane = max(1, (lanes - 1).bit_length()) * lanes * 26
-                        bucket = (2 * cc + 2) * nb * 26
+                        bucket = 4 * nb * 26
                         return nwin * (n * 11 + lane + bucket)
 
-                    c = min(range(6, 11), key=cost)
+                    c = min(range(6, max(7, min(14, cmax + 1))), key=cost)
                 self.c = c
                 self.nwin = -(-(total_bits + 1) // c)
                 self.nb = 1 << (c - 1)
@@ -229,7 +235,8 @@ class MSM:
                 self.nb = (1 << c) - 1
             self.R = lanes
             self.TILER = min(lanes, 1024)
-            assert self.R % 128 == 0 and self.R % self.TILER == 0
+            assert self.R % self.TILER == 0 and (
+                _INTERPRET or self.R % 128 == 0)
             self.C = -(-n // self.R)
             self.n_pad = self.C * self.R
             # chunk windows so the materialized prefix arrays stay under
@@ -579,65 +586,104 @@ class MSM:
         return tuple(a[:, :nw] for a in out)
 
     def _weighted_sum_pallas(self, buckets, nw):
-        """S_w = sum_b (b+1) * bucket_b for each window, fully in VMEM:
-        suffix roll-scan over the (padded) bucket axis + a final
-        reduction, writing one point per window (lane 0)."""
+        """S_w = sum_b (b+1) * bucket_b for each window, fully in VMEM.
+
+        O(nb) halving fold instead of the old two O(nb log nb) suffix
+        roll-scans: with H = m/2,
+
+          sum_{j<m} (j+1) B_j
+            = sum_{j<H} (j+1) (B_j + B_{H+j})  +  H * sum_{j<H} B_{H+j}
+
+        so each level folds the bucket array in half (H adds), tree-sums
+        the high half down to 128 lanes (H adds total), scales by H via
+        log2(H) doublings of a 128-lane partial, and recurses — ~2*nb
+        adds overall vs 2*nb*log2(nb).  At m = 128 lanes (the VPU tile
+        floor) the remainder sum_{j<128} (j+1) B_j falls back to the
+        two-suffix-scan trick, with the accumulated high-half partials W
+        injected between the scans (scan2 sums lanes, so adding W
+        lanewise before it folds W's 128 partial lanes in for free).
+        The shrinking level widths also keep the Mosaic op count flat in
+        nb, lifting the old c<=10 compile-blowup cap."""
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        G = self.G
         nb = self.nb
         nbp = -(-nb // 128) * 128
+        assert nbp & (nbp - 1) == 0, "bucket axis must pad to a power of 2"
         L = buckets[0].shape[0]
         nw8 = -(-nw // 8) * 8
         bX, bY, bZ = (
             jnp.pad(a, ((0, 0), (0, nw8 - nw), (0, nbp - nb)))
             for a in buckets)
-        # padded BUCKET lanes participate in the scans: they must be the
-        # identity CLASS (0 : 1 : 0) — zero-padded Y breaks completeness
+        # padded BUCKET lanes participate in the fold/scans: they must be
+        # the identity CLASS (0 : 1 : 0) — zero-padded Y breaks completeness
         if nbp != nb:
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nbp), 2)
             one = self.G.F.ones((1, 1))
             bY = jnp.where(lane < nb, bY, one)
         buckets = (bX, bY, bZ)
-        steps = max(1, (nbp - 1).bit_length())
 
         GC = self.GC
         F = self.G.F
 
         def kernel(bx, by, bz, ox, oy, oz):
-            X, Y, Z = bx[:], by[:], bz[:]
-            WBk = X.shape[1]
-            one = F.ones((WBk, nbp))
-            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nbp), 2)
-            # two suffix scans: scan1 gives suffix sums; scan2 sums them
-            # (lane 0 ends with sum_b (b+1) * bucket_b)
-            for _ in range(2):
-                for i in range(steps):
+            B = (bx[:], by[:], bz[:])
+            WBk = B[0].shape[1]
+            W = None                     # scaled high-half partials [.., 128]
+            m = nbp
+            while m > 128:
+                H = m // 2
+                low = tuple(a[..., :H] for a in B)
+                high = tuple(a[..., H:] for a in B)
+                T, t = high, H
+                while t > 128:           # tree-sum high half to 128 lanes
+                    T = GC.add(tuple(a[..., : t // 2] for a in T),
+                               tuple(a[..., t // 2:] for a in T))
+                    t //= 2
+                for _ in range(max(0, H.bit_length() - 1)):  # T *= H
+                    T = GC.double(T)
+                W = T if W is None else GC.add(W, T)
+                B = GC.add(low, high)
+                m = H
+            # m == 128: suffix scan 1 -> suffix sums of B
+            X, Y, Z = B
+            one = F.ones((WBk, 128))
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+            for scan in range(2):
+                for i in range(7):
                     s = 1 << i
                     Qx = jnp.concatenate([X[..., s:], X[..., :s]], axis=-1)
                     Qy = jnp.concatenate([Y[..., s:], Y[..., :s]], axis=-1)
                     Qz = jnp.concatenate([Z[..., s:], Z[..., :s]], axis=-1)
-                    v = idx < nbp - s
+                    v = idx < 128 - s
                     Qx = jnp.where(v, Qx, 0)
                     Qy = jnp.where(v, Qy, one)
                     Qz = jnp.where(v, Qz, 0)
                     X, Y, Z = GC.add((X, Y, Z), (Qx, Qy, Qz))
+                if scan == 0 and W is not None:
+                    # scan2 sums all lanes: lanewise W rides along, its
+                    # 128 partials reduce into lane 0 with the suffixes
+                    X, Y, Z = GC.add((X, Y, Z), W)
             ox[:], oy[:], oz[:] = X, Y, Z
 
-        WB = 8
+        # larger buckets = bigger VMEM-resident input blocks: shrink the
+        # window-batch so (in + intermediates) stays under ~half of VMEM
+        WB = 8 if nbp <= 2048 else 4
         shape = jax.ShapeDtypeStruct((L, nw8, nbp), jnp.uint32)
+        oshape = jax.ShapeDtypeStruct((L, nw8, 128), jnp.uint32)
         spec = pl.BlockSpec((L, WB, nbp), lambda w: (0, w, 0),
                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((L, WB, 128), lambda w: (0, w, 0),
+                             memory_space=pltpu.VMEM)
         X, Y, Z = pl.pallas_call(
             kernel,
             interpret=_INTERPRET,
             grid=(nw8 // WB,),
-            out_shape=(shape, shape, shape),
+            out_shape=(oshape, oshape, oshape),
             in_specs=[spec] * 3,
-            out_specs=(spec, spec, spec),
+            out_specs=(ospec, ospec, ospec),
         )(*buckets)
-        # lane 0 now holds sum_{b} suffix_b = sum_b (b+1) * bucket_b
+        # lane 0 holds sum_b (b+1) * bucket_b (+ folded high-half terms)
         return tuple(a[:, :nw, 0:1] for a in (X, Y, Z))
 
     def _horner_fold_pallas(self, S):

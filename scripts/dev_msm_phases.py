@@ -67,6 +67,7 @@ def main():
     log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     c = int(sys.argv[2]) if len(sys.argv) > 2 else None
     lanes = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    signed = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
     n = 1 << log2n
     curve = BN254
     fp = field_ops(curve.fp)
@@ -87,12 +88,14 @@ def main():
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
     measure_null()
-    plan = MSM(G, n, curve.fr.L, c=c, lanes=lanes, method="window_pallas")
-    print(f"plan: c={plan.c} nwin={plan.nwin} R={plan.R} C={plan.C}")
+    plan = MSM(G, n, curve.fr.L, c=c, lanes=lanes, method="window_pallas",
+               signed=signed)
+    print(f"plan: c={plan.c} nwin={plan.nwin} R={plan.R} C={plan.C} "
+          f"signed={plan.signed} nb={plan.nb}")
     timeit("FULL plan (chunked)", lambda *a: plan(*a), xs, ys, inf, sc)
     cc, R, C, nwin = plan.c, plan.R, plan.C, plan.nwin
     n_pad = plan.n_pad
-    nb = (1 << cc) - 1
+    nb = plan.nb
     L = curve.fp.L
 
     prep = jax.jit(plan._prep_window)
@@ -122,7 +125,7 @@ def main():
 
     offs = timeit("lane-offset scan (pallas)", lane_fn, *prefix)
 
-    bvals = jnp.arange(1, 1 << cc, dtype=jnp.int32)
+    bvals = jnp.arange(1, nb + 1, dtype=jnp.int32)
 
     @jax.jit
     def bounds_fn(d_sorted):

@@ -62,12 +62,17 @@ def main():
     expected = host.scalar_mul(curve.g1_gen, total)
 
     for name in which:
+        # variant syntax: [signed][+mxu][@c]  e.g. signed@11, signed+mxu@9
+        cval = None
+        if "@" in name:
+            name, cs = name.split("@")
+            cval = int(cs)
         signed = "signed" in name
         mxu = "mxu" in name
         t0 = time.perf_counter()
         with mxu_redc(mxu):
             plan = MSM(G, n, curve.fr.L, method="window_pallas",
-                       signed=signed)
+                       signed=signed, c=cval)
             out = plan(xs, ys, inf, sc)
             np.asarray(out[0])
             t_compile = time.perf_counter() - t0
