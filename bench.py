@@ -64,11 +64,26 @@ def main():
     scalars = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, curve.fr.L))
 
-    plan = MSM(G, n, curve.fr.L, method="window_pallas", signed=True)
+    # the DEFAULT plan (signed/method auto-select) — the same
+    # configuration groth16.prove / kzg.commit construct, so the
+    # headline number is the product's kernel, not a bench-only config
+    plan = MSM(G, n, curve.fr.L)
     out = plan(xs, ys, inf, sc)  # compile + first run
     np.asarray(out[0])  # force full execution (block_until_ready is not
     # sufficient over the remote-TPU tunnel: only a device-to-host fetch
     # guarantees the computation ran to completion)
+
+    # correctness oracle: point i is 2^(i mod 64) * G, so the expected
+    # result is ONE host scalar-mul of the weighted scalar sum — a wrong
+    # kernel can never post a headline number (VERDICT r3 weak #9)
+    r_mod = curve.fr.modulus
+    total = sum(s << (i % 64) for i, s in enumerate(scalars)) % r_mod
+    expected = host.scalar_mul(curve.g1_gen, total)
+    X, Y, Z = (fp.unpack(np.asarray(a))[0] for a in out)
+    p_mod = curve.fp.modulus
+    zi = pow(Z, -1, p_mod)
+    got = (X * zi * zi % p_mod, Y * zi * zi * zi % p_mod)
+    assert got == expected, f"MSM MISMATCH: {got} != {expected}"
 
     # dispatch iters back-to-back and fetch ONE element of the LAST
     # output only: the device stream executes in order, so the last

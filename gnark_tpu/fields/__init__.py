@@ -68,12 +68,13 @@ BW6_761_FP = FieldSpec(
     multiplicative_generator=2,
 )
 
-# --- BW6-633-class (2-chain outer curve over BLS24-315) ---------------------
-# fr(BW6-633) IS fp(BLS24-315).  NOTE: this instance was derived in-repo
-# by the Brezing-Weng CM construction (t0^2-3t0+3 = 0 mod r, smallest
-# |ht|+|hy| lift with a 633-bit prime); gnark-crypto's published BW6-633
-# may be a different member of the same family — no cross-implementation
-# vectors exist in this environment to pin it (see docs/STATUS notes).
+# --- BW6-633 (2-chain outer curve over BLS24-315) ---------------------------
+# fr(BW6-633) IS fp(BLS24-315).  PINNED to the published El Housni-
+# Guillevic instance (eprint 2021/1359; gnark-crypto ecc/bw6-633): this
+# modulus is the UNIQUE 633-bit prime p = (t^2+3y^2)/4 over all lifts
+# t = t0+ht*r, y = y0+hy*r with |ht|,|hy| <= 25 in BOTH Frobenius-
+# eigenvalue families (the published lift is ht = -7, hy = ±1 by sign
+# convention).  Curve coefficients verified in curves/__init__.py.
 BW6_633_FP = FieldSpec(
     name="bw6_633_fp",
     modulus=20494478644167774678813387386538961497669590920908778075528754551012016751717791778743535050360001387419576570244406805463255765034468441182772056330021723098661967429339971741066259394985997,

@@ -137,11 +137,10 @@ class MSM:
 
     def __init__(self, G: CurveOps, n: int, scalar_limbs: int,
                  c: int | None = None, lanes: int | None = None,
-                 method: str = "auto", signed: bool = False):
+                 method: str = "auto", signed: bool | None = None):
         self.G = G
         self.n = n
         self.scalar_limbs = scalar_limbs
-        self.signed = signed
         if method == "auto" and c is None and lanes is None:
             if jax.default_backend() != "cpu":
                 # measured on v5e (docs/PERF.md): the Pallas-fused
@@ -172,6 +171,16 @@ class MSM:
                     method = "window_pallas" if n >= 8192 else "ladder_pallas"
             elif n <= LADDER_THRESHOLD:
                 method = "ladder"
+        if method == "window_pallas" and getattr(G, "b", None) is None:
+            # complete-formula ops need the curve coefficient
+            method = "window"
+        if signed is None:
+            # signed-digit recoding is a measured win on the Pallas
+            # windowed path (half the buckets -> c can grow by one at the
+            # same bucket cost; docs/PERF.md round-4 table) and is only
+            # implemented there — auto-select it exactly there.
+            signed = method == "window_pallas"
+        self.signed = signed
         if method in ("ladder", "ladder_pallas"):
             assert not signed, "signed digits: window_pallas only"
             self.c = self.nwin = self.R = self.C = self.n_pad = None
@@ -194,13 +203,12 @@ class MSM:
                 # bucket cost and the window count drops (BN254: 29
                 # signed c=9 windows vs 32 unsigned c=8).  The O(nb)
                 # weighted-sum fold makes the bucket phase ~4*nb adds
-                # (fold + tree-sum + extraction), so larger c pays; the
-                # hard cap is the 32-bit sort key (digit|sign|index).
+                # (fold + tree-sum + extraction), so larger c pays.  When
+                # digit|sign|index no longer packs in one u32 sort key,
+                # _sort_gather switches to a two-operand lax.sort (key +
+                # payload) — no hard c cap; 14 keeps the weighted-sum
+                # kernel's VMEM-resident bucket blocks comfortable.
                 if c is None:
-                    n_pad_est = -(-n // lanes) * lanes
-                    idx_bits = max(1, (n_pad_est - 1).bit_length())
-                    cmax = 32 - 1 - idx_bits   # digit bits (incl. +1 slack)
-
                     def cost(cc):
                         nwin = -(-(total_bits + 1) // cc)
                         nb = 1 << (cc - 1)
@@ -208,7 +216,7 @@ class MSM:
                         bucket = 4 * nb * 26
                         return nwin * (n * 11 + lane + bucket)
 
-                    c = min(range(6, max(7, min(14, cmax + 1))), key=cost)
+                    c = min(range(6, 15), key=cost)
                 self.c = c
                 self.nwin = -(-(total_bits + 1) // c)
                 self.nb = 1 << (c - 1)
@@ -668,7 +676,8 @@ class MSM:
 
         # larger buckets = bigger VMEM-resident input blocks: shrink the
         # window-batch so (in + intermediates) stays under ~half of VMEM
-        WB = 8 if nbp <= 2048 else 4
+        WB = 8 if nbp <= 2048 else (4 if nbp <= 4096 else
+                                    (2 if nbp <= 8192 else 1))
         shape = jax.ShapeDtypeStruct((L, nw8, nbp), jnp.uint32)
         oshape = jax.ShapeDtypeStruct((L, nw8, 128), jnp.uint32)
         spec = pl.BlockSpec((L, WB, nbp), lambda w: (0, w, 0),
@@ -739,21 +748,40 @@ class MSM:
         idx_bits = max(1, (n_pad - 1).bit_length())
         sbit = 1 if signs is not None else 0
         dig_bits = max(1, self.nb.bit_length())
-        assert dig_bits + sbit + idx_bits <= 32, "sort key overflows u32"
         iota = jax.lax.broadcasted_iota(jnp.uint32, (nw, n_pad), 1)
-        key = (dg.astype(jnp.uint32) << np.uint32(idx_bits + sbit)) | iota
-        if signs is not None:
-            key = key | (signs << np.uint32(idx_bits))
-        skey = jax.lax.sort(key, dimension=1)
-        orders = (skey & np.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-        d_sorted = (skey >> np.uint32(idx_bits + sbit)).astype(jnp.int32)
+        ssgn = None
+        if dig_bits + sbit + idx_bits <= 32:
+            # packed single-key sort: digit|sign|index in one u32 — one
+            # array through the bitonic network, stable by construction
+            key = (dg.astype(jnp.uint32) << np.uint32(idx_bits + sbit)) | iota
+            if signs is not None:
+                key = key | (signs << np.uint32(idx_bits))
+            skey = jax.lax.sort(key, dimension=1)
+            orders = (skey & np.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+            d_sorted = (skey >> np.uint32(idx_bits + sbit)).astype(jnp.int32)
+            if signs is not None:
+                ssgn = (skey >> np.uint32(idx_bits)) & jnp.uint32(1)
+        else:
+            # two-operand sort (key = digit<<1|sign, payload = index):
+            # lifts the packed-key cap so large windows (c up to 14) work
+            # at 2^20+ point counts (VERDICT r3: idx_bits=20 capped c at
+            # 11).  Keying on (digit, sign) keeps the permutation
+            # byte-identical to the packed path.
+            key = dg.astype(jnp.uint32) << np.uint32(sbit)
+            if signs is not None:
+                key = key | signs
+            skey, spay = jax.lax.sort(
+                (key, iota), dimension=1, is_stable=True, num_keys=1)
+            orders = spay.astype(jnp.int32)
+            d_sorted = (skey >> np.uint32(sbit)).astype(jnp.int32)
+            if signs is not None:
+                ssgn = skey & jnp.uint32(1)
         g = jnp.take(ptrows, orders, axis=0)        # [nw, n_pad, 2L] rows
         g = jnp.transpose(g.reshape(nw, R, C, 2 * L), (0, 2, 3, 1))
         sx, sy = g[:, :, :L], g[:, :, L:]
-        if signs is not None:
+        if ssgn is not None:
             # sorted sign -> bit 17 of y limb-plane 0 (the leaf kernel
             # negates flagged points; EC negation is free)
-            ssgn = (skey >> np.uint32(idx_bits)) & jnp.uint32(1)
             ssgn = jnp.transpose(ssgn.reshape(nw, R, C), (0, 2, 1))
             sy = sy.at[:, :, 0, :].add(ssgn << jnp.uint32(17))
         return sx, sy, d_sorted
@@ -895,7 +923,8 @@ def _msm_cache(G, n, scalar_limbs, c, lanes, signed):
 
 
 def msm(G: CurveOps, xs, ys, inf_mask, scalars, c=None, lanes=None,
-        signed=False):
-    """One-shot MSM; plans are cached per (G, n, c, lanes, signed)."""
+        signed=None):
+    """One-shot MSM; plans are cached per (G, n, c, lanes, signed).
+    signed=None auto-selects (True on the Pallas windowed path)."""
     plan = _msm_cache(G, xs.shape[-1], scalars.shape[0], c, lanes, signed)
     return plan(xs, ys, inf_mask, scalars)

@@ -27,14 +27,17 @@ class ShardedMSM:
 
     def __init__(self, G: CurveOps, mesh: Mesh, axis: str, n: int,
                  scalar_limbs: int, c: int | None = None,
-                 lanes: int | None = None):
+                 lanes: int | None = None, signed: bool | None = None):
         self.G = G
         self.mesh = mesh
         self.axis = axis
         ndev = mesh.shape[axis]
         assert n % ndev == 0, f"n={n} not divisible by mesh axis {ndev}"
         self.n = n
-        self.local_plan = MSM(G, n // ndev, scalar_limbs, c, lanes)
+        # signed=None auto-selects per the local plan's resolved method
+        # (the measured-best default — same kernels bench.py measures)
+        self.local_plan = MSM(G, n // ndev, scalar_limbs, c, lanes,
+                              signed=signed)
 
         def local(xs, ys, inf, scalars):
             partial = self.local_plan._impl(xs, ys, inf, scalars)
@@ -59,6 +62,8 @@ class ShardedMSM:
 
 
 def sharded_msm(G: CurveOps, mesh: Mesh, axis: str, xs, ys, inf_mask,
-                scalars, c: int | None = None, lanes: int | None = None):
-    plan = ShardedMSM(G, mesh, axis, xs.shape[-1], scalars.shape[0], c, lanes)
+                scalars, c: int | None = None, lanes: int | None = None,
+                signed: bool | None = None):
+    plan = ShardedMSM(G, mesh, axis, xs.shape[-1], scalars.shape[0], c,
+                      lanes, signed=signed)
     return plan(xs, ys, inf_mask, scalars)
