@@ -125,6 +125,13 @@ class _HostVecF:
         return [1] * len(a)
 
 
+def _big_domain_size(n: int) -> int:
+    """Quotient-evaluation domain: deg t = 3n+5 with blinding, so 4n
+    suffices only for n >= 8; tiny circuits take 8n (the reference's
+    n < 6 exception, internal/backend/bn254/plonk/setup.go:105-110)."""
+    return 4 * n if n >= 8 else 8 * n
+
+
 class _HostPoly:
     """Host-int polynomial helper with the same interface as _Poly
     (natural-order coset layout; order only has to be self-consistent)."""
@@ -137,9 +144,10 @@ class _HostPoly:
             self = super().__new__(cls)
             self.spec = spec
             self.n = n
+            self.big = _big_domain_size(n)
             self.q = spec.modulus
             self.omega = spec.root_of_unity(n)
-            self.omega4 = spec.root_of_unity(4 * n)
+            self.omega4 = spec.root_of_unity(self.big)
             self.coset = spec.multiplicative_generator % self.q
             self.F = _HostVecF(self.q)
             cls._cache[key] = self
@@ -154,7 +162,7 @@ class _HostPoly:
     def eval_coset4(self, coeffs):
         from gnark_tpu.backend.groth16 import _host_ntt
         q = self.q
-        c = [v % q for v in coeffs] + [0] * (4 * self.n - len(coeffs))
+        c = [v % q for v in coeffs] + [0] * (self.big - len(coeffs))
         shifted = [v * pow(self.coset, i, q) % q for i, v in enumerate(c)]
         return _host_ntt(shifted, self.omega4, q)
 
@@ -178,8 +186,9 @@ class _Poly:
             self = super().__new__(cls)
             self.spec = spec
             self.n = n
+            self.big = _big_domain_size(n)
             self.domain = Domain(spec, n)
-            self.domain4 = Domain(spec, 4 * n)
+            self.domain4 = Domain(spec, self.big)
             self.F = self.domain.F
             self.Ls = spec.L
             cls._cache[key] = self
@@ -204,9 +213,9 @@ class _Poly:
         return self.unpack(coeffs)
 
     def eval_coset4(self, coeffs_ints):
-        """coefficients -> evaluations on the 4n coset, bit-reversed order
-        (device planes, Montgomery)."""
-        x = self.pack(coeffs_ints, 4 * self.n)
+        """coefficients -> evaluations on the big coset, bit-reversed
+        order (device planes, Montgomery)."""
+        x = self.pack(coeffs_ints, self.big)
         return self.domain4.fft(x, "DIF", coset=True)
 
     def interp_coset4(self, evals_brev):
@@ -296,18 +305,23 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None,
         c_qc=commits[4], c_s1=commits[5], c_s2=commits[6], c_s3=commits[7],
         g2_gen=srs.g2_gen, g2_tau=srs.g2_tau, g1_gen=curve.g1_gen)
 
-    # 4n coset precomputations
-    brev4 = bit_reverse_perm(4 * n)
+    # big-coset precomputations.  big = 4n normally, 8n for n < 8: the
+    # blinded quotient has degree 3n+5, which only fits the 4n domain
+    # from n = 8 up (setup.go:105-110 makes the same n<6 exception)
+    big = _big_domain_size(n)
+    ratio = big // n
+    brev4 = bit_reverse_perm(big)
     coset = curve.fr.multiplicative_generator % q
-    w4 = curve.fr.root_of_unity(4 * n)
-    # Z_H(x) = x^n - 1 on the coset: coset^n * w4^{ni} - 1 (w4^n has order 4)
+    w4 = curve.fr.root_of_unity(big)
+    # Z_H(x) = x^n - 1 on the coset: coset^n * w4^{ni} - 1
+    # (w4^n has order big/n)
     w4n = pow(w4, n, q)
     cn = pow(coset, n, q)
     ninv = pow(n, -1, q)
     if nat.available:
-        x64 = nat.powers(w4, 4 * n, start=coset)
+        x64 = nat.powers(w4, big, start=coset)
         x_nat = nat.unpack(x64)
-        zh_full = [(cn * pow(w4n, i % 4, q) - 1) % q for i in range(4 * n)]
+        zh_full = [(cn * pow(w4n, i % ratio, q) - 1) % q for i in range(big)]
         zh64 = nat.pack(zh_full)
         zh_inv = nat.unpack(nat.batch_inv(zh64))
         zeros = np.zeros_like(x64)
@@ -315,24 +329,24 @@ def setup(cs, curve, srs: kzg.SRS | None = None, rng=None,
         # L1(x) = (x^n - 1) / (n (x - 1))
         l1_full = nat.unpack(nat.vecmul(nat.vecmul(zh64, l1_den64), ninv))
     else:
-        x_nat = [0] * (4 * n)
+        x_nat = [0] * big
         t = coset
-        for i in range(4 * n):
+        for i in range(big):
             x_nat[i] = t
             t = t * w4 % q
-        zh_full = [(cn * pow(w4n, i % 4, q) - 1) % q for i in range(4 * n)]
+        zh_full = [(cn * pow(w4n, i % ratio, q) - 1) % q for i in range(big)]
         zh_inv = _batch_inv_host(zh_full, q)
         # L1(x) = (x^n - 1) / (n (x - 1))
         l1_den = _batch_inv_host([(x - 1) % q for x in x_nat], q)
         l1_full = [(zh_full[i] * ninv % q) * l1_den[i] % q
-                   for i in range(4 * n)]
+                   for i in range(big)]
 
     if host:
         def layout(vals):
             return list(vals)  # natural order, int lists
     else:
         def layout(vals):
-            return P.pack([vals[i] for i in brev4], 4 * n)
+            return P.pack([vals[i] for i in brev4], big)
 
     pk = PlonkPK(
         curve=curve, srs=srs, vk=vk, n=n, ell=ell, k1=k1, k2=k2,

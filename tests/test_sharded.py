@@ -106,3 +106,39 @@ def test_mesh_prove_matches_single_chip():
     p2 = groth16.prove(cs, pk, witness, rng=random.Random(5), check=True,
                        mesh=mesh, mesh_axis="shard")
     assert p1.ar == p2.ar and p1.bs == p2.bs and p1.krs == p2.krs
+
+
+@pytest.mark.slow
+def test_mesh_prove_bn254_verifies():
+    """REAL BN254 key at real limb width over the 8-device mesh: host
+    (python-int) setup packed to device arrays, mesh-sharded NTT + MSMs
+    — and the proof VERIFIES (round-4 upgrade of the Goldilocks
+    dummy-key run: correctness by verification, not just execution)."""
+    import random
+
+    from gnark_tpu.backend import groth16
+    from gnark_tpu.frontend.compile import compile_circuit
+    from gnark_tpu.frontend.schema import Circuit, Public, Secret
+
+    q = BN254.fr.modulus
+    DEPTH = 62  # domain 64 = devices^2, 64 wires
+
+    class Chain(Circuit):
+        x = Secret()
+        out = Public()
+
+        def define(self, api):
+            v = self.x
+            for _ in range(DEPTH):
+                v = api.mul(v, v)
+            api.assert_is_equal(v, self.out)
+
+    cs = compile_circuit(Chain(), BN254)
+    pk, vk = groth16.setup(cs, BN254, rng=random.Random(3), host=True)
+    pk = groth16.pk_to_device(pk)
+    y = pow(3, pow(2, DEPTH, q - 1), q)
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("shard",))
+    proof = groth16.prove(cs, pk, [y, 3], rng=random.Random(4),
+                          check=True, mesh=mesh, mesh_axis="shard")
+    assert groth16.verify(proof, vk, [y])
+    assert not groth16.verify(proof, vk, [(y + 1) % q])
