@@ -389,14 +389,29 @@ def setup(cs, curve, rng=None, host=False):
             return vals + [0] * (n_pad - len(vals))
 
         def g1_batch(scalars):
+            vals = as_ints(scalars)
+            from gnark_tpu.backend.native_field import \
+                native_fixed_base_affine
+            pts = native_fixed_base_affine(curve, vals, curve.g1_gen)
+            if pts is not None:
+                return pts
             return [None if s % q == 0
                     else host1.scalar_mul(curve.g1_gen, s % q)
-                    for s in as_ints(scalars)]
+                    for s in vals]
 
         def g2_batch(scalars):
+            vals = as_ints(scalars)
+            if getattr(curve, "g2_over_fp", False):
+                # BW6 family: G2 lives over fp — the generic C core
+                # serves it too (host python loop is minutes at 4k pts)
+                from gnark_tpu.backend.native_field import \
+                    native_fixed_base_affine
+                pts = native_fixed_base_affine(curve, vals, curve.g2_gen)
+                if pts is not None:
+                    return pts
             return [None if s % q == 0
                     else host2h.scalar_mul(curve.g2_gen, s % q)
-                    for s in as_ints(scalars)]
+                    for s in vals]
     elif curve.fp.L >= 24 and nat.available:
         # wide-field (BW6) curves: native C fixed-base (the 16-bit-limb
         # device kernels pay O(L^2) at these widths; see native MSM note
@@ -557,12 +572,37 @@ def _prove_host(cs, pk, sol, rnd):
 
     host1, host2 = curve.host_g1, curve.host_g2
 
-    def hmsm(points, scalars):
-        acc = None
-        for P, s in zip(points, scalars):
-            if P is not None and s % q:
-                acc = host1.add(acc, host1.scalar_mul(P, s % q))
-        return acc
+    from gnark_tpu.native import solver_lib
+    if solver_lib() is not None:
+        # native C Pippenger (modulus-generic, device-free) — the
+        # python loop is minutes-scale on 4096-gate corpus circuits
+        from gnark_tpu.backend.native_field import native_msm
+        Lp = curve.fp.L
+
+        def hmsm(points, scalars):
+            k = min(len(points), len(scalars))
+            xs = np.zeros((Lp, k), np.uint32)
+            ys = np.zeros((Lp, k), np.uint32)
+            inf = np.zeros(k, bool)
+            for i in range(k):
+                P = points[i]
+                if P is None or scalars[i] % q == 0:
+                    inf[i] = True
+                    continue
+                x, y = P
+                for l in range(Lp):
+                    xs[l, i] = (x >> (16 * l)) & 0xFFFF
+                    ys[l, i] = (y >> (16 * l)) & 0xFFFF
+            sc = np.asarray(ints_to_limbs(
+                [scalars[i] % q for i in range(k)], curve.fr.L))
+            return native_msm(curve, xs, ys, inf, sc, coords_mont=False)
+    else:
+        def hmsm(points, scalars):
+            acc = None
+            for P, s in zip(points, scalars):
+                if P is not None and s % q:
+                    acc = host1.add(acc, host1.scalar_mul(P, s % q))
+            return acc
 
     wires = sol.values
     r, s = rnd(q), rnd(q)

@@ -72,7 +72,12 @@ def new_srs(curve, size: int, tau: int | None = None, rng=None,
         powers.append(t)
         t = t * tau % q
     if host:
-        g1 = [host1.scalar_mul(curve.g1_gen, p) for p in powers]
+        from gnark_tpu.backend.native_field import native_fixed_base_affine
+        g1 = native_fixed_base_affine(curve, powers, curve.g1_gen)
+        if g1 is None:
+            g1 = [host1.scalar_mul(curve.g1_gen, p) for p in powers]
+        else:
+            g1 = [p if p is not None else None for p in g1]
     else:
         from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
         K = _CurveKernels(curve)
@@ -114,6 +119,19 @@ def commit(srs: SRS, coeffs: list, host: bool = False):
     if len(coeffs) > len(srs.g1):
         raise ValueError(
             f"polynomial degree {len(coeffs) - 1} exceeds SRS size {len(srs.g1)}")
+    from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
+    from gnark_tpu.native import solver_lib
+    if solver_lib() is not None and (host or srs.curve.fp.L >= 24):
+        # native C Pippenger (device-free, modulus-generic): the
+        # host=True protocol-test path (python loop was minutes-scale
+        # at 4096 gates) and wide-field (BW6) curves where the
+        # 16-bit-limb device layout loses (docs/PERF.md)
+        from gnark_tpu.backend.native_field import native_msm
+        k = len(coeffs)
+        xs, ys, inf = srs.host_planes              # numpy, no device work
+        sc = np.asarray(ints_to_limbs(coeffs, srs.curve.fr.L, q=q))
+        return native_msm(srs.curve, xs[:, :k], ys[:, :k], inf[:k],
+                          sc, coords_mont=False)
     if host:
         host1 = srs.curve.host_g1
         acc = None
@@ -121,19 +139,6 @@ def commit(srs: SRS, coeffs: list, host: bool = False):
             if c % q:
                 acc = host1.add(acc, host1.scalar_mul(P, c % q))
         return acc
-    from gnark_tpu.backend.groth16 import _CurveKernels, ints_to_limbs
-    if srs.curve.fp.L >= 24:
-        # wide-field (BW6) curves: same routing as groth16.prove — the
-        # native 64-bit CIOS Pippenger beats the 16-bit-limb device
-        # representation at 761/633-bit widths (docs/PERF.md)
-        from gnark_tpu.backend.native_field import native_msm
-        from gnark_tpu.native import solver_lib
-        if solver_lib() is not None:
-            k = len(coeffs)
-            xs, ys, inf = srs.host_planes          # numpy, no device work
-            sc = np.asarray(ints_to_limbs(coeffs, srs.curve.fr.L, q=q))
-            return native_msm(srs.curve, xs[:, :k], ys[:, :k], inf[:k],
-                              sc, coords_mont=False)
     K = _CurveKernels(srs.curve)
     arr = jnp.asarray(ints_to_limbs(coeffs, srs.curve.fr.L, q=q))
     return K.g1_to_host(commit_device(srs, arr))[0]

@@ -262,6 +262,38 @@ def native_msm(curve, xs_planes, ys_planes, inf_mask, scalars_planes,
     return (X * z2 % p, Y * z2 % p * zinv % p)
 
 
+def native_fixed_base_affine(curve, scalars_ints, base):
+    """Batch scalar*base -> list of host affine points (None = inf).
+
+    Modulus-generic C-core route for the host=True setup/SRS paths
+    (the python scalar-mul loop is ~40 s per 1024 points; this is ms).
+    Returns None when the native library is unavailable."""
+    from gnark_tpu.native import solver_lib
+    if solver_lib() is None:
+        return None
+    q = curve.fr.modulus
+    nat_r = nat_for(q)
+    nat_p = nat_for(curve.fp.modulus)
+    rows = nat_r.pack([s % q for s in scalars_ints])
+    x_pl, y_pl, inf = native_fixed_base(curve, rows, base)
+    # coords come back in Montgomery form: one plain vecmul by R^{-1}
+    rinv = pow(1 << (64 * nat_p.N), -1, curve.fp.modulus)
+
+    def to_ints(planes):
+        a = np.ascontiguousarray(np.asarray(planes, np.uint16).T)
+        pad = 4 * nat_p.N - a.shape[1]
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((a.shape[0], pad), np.uint16)], axis=1)
+        rows64 = np.ascontiguousarray(a).view(np.uint64).reshape(
+            a.shape[0], nat_p.N)
+        return nat_p.unpack(nat_p.vecmul(rows64, rinv))
+
+    xs, ys = to_ints(x_pl), to_ints(y_pl)
+    return [None if inf[i] else (xs[i], ys[i])
+            for i in range(len(scalars_ints))]
+
+
 def native_fixed_base(curve, scalars_rows, base, c: int = 8):
     """Batch scalar*base on the C core (wide-field setup path).
 

@@ -51,7 +51,8 @@ def main():
           f"{cs.nb_constraints} constraints", flush=True)
 
     import pickle
-    cache = f"/tmp/e2e_sq_{curve_name}_{nlog}"
+    os.makedirs("/root/repo/.cache", exist_ok=True)
+    cache = f"/root/repo/.cache/e2e_sq_{curve_name}_{nlog}"
     if os.path.exists(cache + ".npz"):
         t0 = time.perf_counter()
         pk = key_io.groth16_pk_read(cache + ".npz")

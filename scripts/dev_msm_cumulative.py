@@ -81,7 +81,7 @@ def main():
 
     def upto_sort(x, y, i, s):
         ptrows, dg, sg = plan._prep_window(x, y, i, s)
-        return plan._sort_gather(ptrows, dg[:nw],
+        return plan._sort_gather(ptrows, dg[:nw], nw,
                                  sg[:nw] if plan.signed else None)
 
     def upto_leaf(x, y, i, s):
