@@ -41,7 +41,13 @@ from gnark_tpu.parallel.sharded_msm import ShardedMSM
 
 
 def main():
-    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    # CPU mesh: the windowed plan's XLA graph is a >30-min CPU compile
+    # (docs/PERF.md compile-time table) — the vectorized ladder compiles
+    # in ~a minute and exercises the identical shard_map/all-gather
+    # communication structure, which is what this harness measures.  On
+    # a real TPU slice (JAX_PLATFORMS=tpu) keep the production plan.
+    method = "ladder" if jax.default_backend() == "cpu" else "auto"
     n = 1 << logn
     curve = BN254
     fp = field_ops(curve.fp)
@@ -67,13 +73,15 @@ def main():
         if ndev > len(devices):
             break
         mesh = Mesh(np.array(devices[:ndev]).reshape(-1), ("shard",))
-        plan = ShardedMSM(G, mesh, "shard", n, curve.fr.L)
+        plan = ShardedMSM(G, mesh, "shard", n, curve.fr.L, method=method)
         out = plan(xs, ys, inf, sc)
         np.asarray(out[0])  # force
+        iters = 3
         t0 = time.perf_counter()
-        out = plan(xs, ys, inf, sc)
-        np.asarray(out[0])
-        dt = time.perf_counter() - t0
+        for _ in range(iters):
+            out = plan(xs, ys, inf, sc)
+        np.asarray(out[0][(0,) * out[0].ndim])
+        dt = (time.perf_counter() - t0) / iters
         pps = n / dt
         if base is None:
             base = pps

@@ -268,10 +268,16 @@ class MSM:
             self.wchunk = -(-self.nwin // nchunks)
             self.nwin_pad = nchunks * self.wchunk
             self._impl = self._run_window_pallas
-            self._fn = self._run_window_chunked
-            self._prep_jit = jax.jit(self._prep_window)
-            self._chunk_jit = jax.jit(self._window_chunk)
-            self._finish_jit = jax.jit(self._finish_window)
+            if nchunks == 1 and _os.environ.get(
+                    "GNARK_TPU_MSM_SINGLEJIT", "1") != "0":
+                # one chunk: run the whole plan as ONE jitted graph
+                # (saves the prep/chunk/finish dispatch boundaries)
+                self._fn = jax.jit(self._run_window_pallas)
+            else:
+                self._fn = self._run_window_chunked
+                self._prep_jit = jax.jit(self._prep_window)
+                self._chunk_jit = jax.jit(self._window_chunk)
+                self._finish_jit = jax.jit(self._finish_window)
             return
         assert not signed, "signed digits: window_pallas only"
         if c is None:
@@ -489,7 +495,14 @@ class MSM:
         accumulation steps run back-to-back with the accumulator in VMEM
         scratch — no per-step HBM round-trips, which is the ~4x
         fusion-boundary tax of the XLA formulation (docs/PERF.md).
-        Prefixes stream out to HBM for the bucket-boundary gathers.
+
+        Prefixes stream out to HBM as POINT ROWS [nw, C*R, 3L] (row
+        j = cstep*R + r holds X|Y|Z limbs of the prefix at sorted
+        position s, where s = r*C + cstep): the bucket-boundary lookup
+        then becomes a MAJOR-axis row gather, which the TPU does ~4.4x
+        faster than minor-axis take_along_axis on [nw, L, C*R] planes
+        (4.5 ms vs 19.9 ms for the 24x1025-boundary set at 2^16 —
+        scripts/dev_gather_micro.py, round 4).
         """
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -497,7 +510,7 @@ class MSM:
         GC, F = self.GC, self.G.F
         L, C, R, T = sx.shape[2], self.C, self.R, self.TILER
 
-        def kernel(x_ref, y_ref, ox, oy, oz, ax, ay, az):
+        def kernel(x_ref, y_ref, orows, ax, ay, az):
             cstep = pl.program_id(2)
 
             @pl.when(cstep == 0)
@@ -518,19 +531,25 @@ class MSM:
                 py = F.select(psign, F.neg(py), py)
             acc = GC.add_mixed((ax[:], ay[:], az[:]), (px, py), pinf)
             ax[:], ay[:], az[:] = acc
-            ox[0, 0], oy[0, 0], oz[0, 0] = acc
+            orows[0] = jnp.concatenate(
+                [a.T for a in acc], axis=1)          # (T, 3L) point rows
 
         blk = pl.BlockSpec((1, 1, L, T), lambda w, r, cs: (w, cs, 0, r),
                            memory_space=pltpu.VMEM)
-        shape = jax.ShapeDtypeStruct((nw, C, L, R), jnp.uint32)
+        # row output: rows j = cstep*R + r — block (1, T, 3L) at row
+        # offset cstep*R + rtile*T
+        oblk = pl.BlockSpec(
+            (1, T, 3 * L), lambda w, r, cs: (w, cs * (R // T) + r, 0),
+            memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((nw, C * R, 3 * L), jnp.uint32)
         scratch = pltpu.VMEM((L, T), jnp.uint32)
         return pl.pallas_call(
             kernel,
             interpret=_INTERPRET,
             grid=(nw, R // T, C),
-            out_shape=(shape, shape, shape),
+            out_shape=shape,
             in_specs=[blk, blk],
-            out_specs=(blk, blk, blk),
+            out_specs=oblk,
             scratch_shapes=[scratch, scratch, scratch],
         )(sx, sy)
 
@@ -838,29 +857,33 @@ class MSM:
         bvals = jnp.arange(0, self.nb + 1, dtype=jnp.int32)
         sx, sy, d_sorted = self._sort_gather(ptrows, dg, nw, sg)
 
-        prefix = self._leaf_prefix_pallas(sx, sy, nw)
+        # prefix point ROWS [nw, C*R, 3L] (row j = cstep*R + r) straight
+        # out of the leaf kernel — boundary lookups are row gathers
+        rows = self._leaf_prefix_pallas(sx, sy, nw)
 
-        # lane totals [L, nw, R] -> exclusive lane offsets (Pallas:
-        # whole batch VMEM-resident across the log2(R) scan steps)
-        totals = tuple(
-            jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
+        def split_rows(g):
+            """[nw, k, 3L] point rows -> 3 x [L, nw, k] limb planes."""
+            t = jnp.transpose(g, (2, 0, 1))
+            return (t[:L], t[L:2 * L], t[2 * L:])
+
+        # lane totals (prefix at cstep = C-1: the last R rows)
+        totals = split_rows(rows[:, (C - 1) * R:, :])
         offs = self._lane_offsets_pallas(totals, nw)
-
-        # flat within-lane prefixes [L, nw, C*R], index j = cstep*R + r
-        flat = tuple(
-            jnp.moveaxis(a, 2, 0).reshape(L, nw, C * R) for a in prefix)
+        # lane-offset rows [nw, R, 3L] for the same row-gather trick
+        orows = jnp.transpose(jnp.concatenate(offs, axis=0), (1, 2, 0))
 
         ends = jax.vmap(
             lambda d: jnp.searchsorted(d, bvals, side="right"))(
                 d_sorted) - 1
 
         def prefix_total(i):
-            gi = jnp.maximum(i, 0)
+            gi = jnp.maximum(i, 0)                       # [nw, nb+1]
             j = (gi % C) * R + gi // C
-            idx = jnp.broadcast_to(j[None], (L,) + j.shape)
-            P = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
-            lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
-            O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
+            P = split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(rows, j))
+            O = split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(
+                    orows, gi // C))
             T = self.GC.add(P, O)
             # i < 0 (nothing at or below this digit) -> identity CLASS:
             # X = Z = 0 (completeness needs Y != 0, which a point has)

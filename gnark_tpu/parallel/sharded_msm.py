@@ -27,7 +27,8 @@ class ShardedMSM:
 
     def __init__(self, G: CurveOps, mesh: Mesh, axis: str, n: int,
                  scalar_limbs: int, c: int | None = None,
-                 lanes: int | None = None, signed: bool | None = None):
+                 lanes: int | None = None, signed: bool | None = None,
+                 method: str = "auto"):
         self.G = G
         self.mesh = mesh
         self.axis = axis
@@ -37,7 +38,7 @@ class ShardedMSM:
         # signed=None auto-selects per the local plan's resolved method
         # (the measured-best default — same kernels bench.py measures)
         self.local_plan = MSM(G, n // ndev, scalar_limbs, c, lanes,
-                              signed=signed)
+                              method=method, signed=signed)
 
         def local(xs, ys, inf, scalars):
             partial = self.local_plan._impl(xs, ys, inf, scalars)

@@ -84,19 +84,22 @@ def main():
         return plan._sort_gather(ptrows, dg[:nw], nw,
                                  sg[:nw] if plan.signed else None)
 
+    def split_rows(g):
+        t = jnp.transpose(g, (2, 0, 1))
+        return (t[:L], t[L:2 * L], t[2 * L:])
+
     def upto_leaf(x, y, i, s):
         sx, sy, d_sorted = upto_sort(x, y, i, s)
         return plan._leaf_prefix_pallas(sx, sy, nw), d_sorted
 
     def upto_lane(x, y, i, s):
-        prefix, d_sorted = upto_leaf(x, y, i, s)
-        totals = tuple(jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
-        return prefix, plan._lane_offsets_pallas(totals, nw), d_sorted
+        rows, d_sorted = upto_leaf(x, y, i, s)
+        totals = split_rows(rows[:, (C - 1) * R:, :])
+        return rows, plan._lane_offsets_pallas(totals, nw), d_sorted
 
     def upto_buckets(x, y, i, s):
-        prefix, offs, d_sorted = upto_lane(x, y, i, s)
-        flat = tuple(
-            jnp.moveaxis(a, 2, 0).reshape(L, nw, C * R) for a in prefix)
+        rows, offs, d_sorted = upto_lane(x, y, i, s)
+        orows = jnp.transpose(jnp.concatenate(offs, axis=0), (1, 2, 0))
         bvals = jnp.arange(0, plan.nb + 1, dtype=jnp.int32)
         ends = jax.vmap(
             lambda d: jnp.searchsorted(d, bvals, side="right"))(d_sorted) - 1
@@ -104,10 +107,11 @@ def main():
         def prefix_total(idx):
             gi = jnp.maximum(idx, 0)
             j = (gi % C) * R + gi // C
-            ii = jnp.broadcast_to(j[None], (L,) + j.shape)
-            Pp = tuple(jnp.take_along_axis(a, ii, axis=2) for a in flat)
-            lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
-            O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
+            Pp = split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(rows, j))
+            O = split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(
+                    orows, gi // C))
             T = plan.GC.add(Pp, O)
             valid = (idx >= 0)[None]
             return (jnp.where(valid, T[0], 0), T[1],

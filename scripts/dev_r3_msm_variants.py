@@ -76,11 +76,11 @@ def main():
             out = plan(xs, ys, inf, sc)
             np.asarray(out[0])
             t_compile = time.perf_counter() - t0
-            iters = 3
+            iters = 8
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = plan(xs, ys, inf, sc)
-                np.asarray(out[0])
+            np.asarray(out[0][(0,) * out[0].ndim])  # bench.py methodology
             dt = (time.perf_counter() - t0) / iters
         X, Y, Z = (fp.unpack(np.asarray(a))[0] for a in out)
         p = curve.fp.modulus
