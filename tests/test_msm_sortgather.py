@@ -179,12 +179,18 @@ def test_sort_gather_two_operand_matches_packed():
     np.testing.assert_array_equal(np.asarray(py), np.asarray(dy))
 
 
+@pytest.mark.slow
 def test_signed_windowed_msm_interpret_end_to_end():
     """FULL signed windowed-Pallas MSM vs the host oracle, with the
     Pallas kernels in interpret mode (runs the exact TPU pipeline —
     recoding, sort+gather, leaf, lane offsets, bucket extraction,
     weighted sum, Horner — as XLA ops on CPU).  Closes VERDICT r3 weak
-    #7: the default-suite gap on signed full-pipeline correctness."""
+    #7: the default-suite gap on signed full-pipeline correctness.
+
+    slow tier: interpret mode unrolls the Pallas grid in-trace, and the
+    resulting XLA CPU compile is tens of minutes on the 1-core host
+    (measured; the TPU-side oracle checks in bench.py and
+    scripts/dev_msm_cumulative.py cover the same pipeline every run)."""
     import gnark_tpu.ops.msm as msm_mod
     from gnark_tpu.curves import BN254 as curve
 
@@ -193,7 +199,10 @@ def test_signed_windowed_msm_interpret_end_to_end():
     try:
         Fp = field_ops(curve.fp)
         G = CurveOps(Fp, b=curve.b)
-        n = 256
+        # n = 64 keeps the interpret-mode graph (grid unrolls in-trace)
+        # compilable in minutes on the 1-core CI host; n = 256 was a
+        # ~20-minute XLA CPU compile
+        n = 64
         rng = np.random.default_rng(41)
         host = curve.host_g1
         pts, P = [], curve.g1_gen
