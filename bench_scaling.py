@@ -42,30 +42,57 @@ from gnark_tpu.parallel.sharded_msm import ShardedMSM
 
 def main():
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    # CPU mesh: the windowed plan's XLA graph is a >30-min CPU compile
-    # (docs/PERF.md compile-time table) — the vectorized ladder compiles
-    # in ~a minute and exercises the identical shard_map/all-gather
-    # communication structure, which is what this harness measures.  On
-    # a real TPU slice (JAX_PLATFORMS=tpu) keep the production plan.
-    method = "ladder" if jax.default_backend() == "cpu" else "auto"
+    # CPU mesh: this harness measures the COMMUNICATION structure
+    # (shard_map + all-gather fold) — scaling efficiency, not absolute
+    # throughput (bench.py owns that).  Real-width BN254 graphs are
+    # >30-min single-core XLA CPU compiles even on the ladder path
+    # (measured round 4), so the CPU-mesh run uses the 4-limb
+    # Goldilocks field: identical sharding/collective graph, 16x
+    # smaller kernels.  On a real TPU slice (JAX_PLATFORMS=tpu) the
+    # production BN254 windowed plan is used.
+    on_cpu = jax.default_backend() == "cpu"
+    method = "ladder" if on_cpu else "auto"
     n = 1 << logn
-    curve = BN254
-    fp = field_ops(curve.fp)
-    G = CurveOps(fp)
-    host = curve.host_g1
+    if on_cpu:
+        from gnark_tpu import fields
+        gl = fields.FieldSpec(
+            name="goldilocks", modulus=(1 << 64) - (1 << 32) + 1,
+            multiplicative_generator=7)
+        fp = field_ops(gl)
+        G = CurveOps(fp)
+        rng = np.random.default_rng(1)
+        q = gl.modulus
 
-    pts = []
-    P = curve.g1_gen
-    for _ in range(64):
-        pts.append(P)
-        P = host.double(P)
-    xs = jnp.tile(fp.pack([p[0] for p in pts]), (1, n // 64))
-    ys = jnp.tile(fp.pack([p[1] for p in pts]), (1, n // 64))
-    inf = jnp.zeros((n,), bool)
-    rng = np.random.default_rng(1)
-    sc = jnp.asarray(ints_to_limbs(
-        [int.from_bytes(rng.bytes(31), "little") for _ in range(n)],
-        curve.fr.L))
+        def rand_ints(k):
+            return [int.from_bytes(rng.bytes(8), "little") % q
+                    for _ in range(k)]
+
+        xs = fp.pack(rand_ints(n))
+        ys = fp.pack(rand_ints(n))
+        inf = jnp.zeros((n,), bool)
+        sc = jnp.asarray(ints_to_limbs(rand_ints(n), gl.L))
+        fr_L = gl.L
+        field_tag = "goldilocks"
+    else:
+        curve = BN254
+        fp = field_ops(curve.fp)
+        G = CurveOps(fp)
+        host = curve.host_g1
+
+        pts = []
+        P = curve.g1_gen
+        for _ in range(64):
+            pts.append(P)
+            P = host.double(P)
+        xs = jnp.tile(fp.pack([p[0] for p in pts]), (1, n // 64))
+        ys = jnp.tile(fp.pack([p[1] for p in pts]), (1, n // 64))
+        inf = jnp.zeros((n,), bool)
+        rng = np.random.default_rng(1)
+        sc = jnp.asarray(ints_to_limbs(
+            [int.from_bytes(rng.bytes(31), "little") for _ in range(n)],
+            curve.fr.L))
+        fr_L = curve.fr.L
+        field_tag = "bn254"
 
     devices = jax.devices()
     base = None
@@ -73,7 +100,7 @@ def main():
         if ndev > len(devices):
             break
         mesh = Mesh(np.array(devices[:ndev]).reshape(-1), ("shard",))
-        plan = ShardedMSM(G, mesh, "shard", n, curve.fr.L, method=method)
+        plan = ShardedMSM(G, mesh, "shard", n, fr_L, method=method)
         out = plan(xs, ys, inf, sc)
         np.asarray(out[0])  # force
         iters = 3
@@ -86,7 +113,8 @@ def main():
         if base is None:
             base = pps
         print(json.dumps({
-            "metric": f"sharded_msm_2e{logn}_ndev{ndev}_points_per_s",
+            "metric":
+                f"sharded_msm_{field_tag}_2e{logn}_ndev{ndev}_points_per_s",
             "value": round(pps),
             "unit": "points/s",
             "scaling_efficiency_vs_1dev": round(pps / (base * ndev), 3),
