@@ -255,7 +255,14 @@ class MSM:
             # (5-way chunking at 2^20 — the measured throughput dip).
             import os as _os
             cap = float(_os.environ.get("GNARK_TPU_MSM_HBM_CAP", 3.5e9))
-            per_win = self.n_pad * self.G.F.L * 4 * 3
+            # physical bytes per window of the prefix-ROW output: the
+            # [n_pad, 3L] rows tile-pad the lane axis to a multiple of
+            # 128 (3L = 48 -> 128 for L = 16), so budget the PADDED
+            # width — the logical-width estimate undercounts 2.7x and
+            # overflows HBM at 2^20 (peak live ~= rows + gathered
+            # sx/sy ~= 1.3x rows)
+            row_lanes = -(-3 * self.G.F.L // 128) * 128
+            per_win = self.n_pad * 4 * row_lanes
             wmax = max(1, int(cap) // per_win)
             if getattr(G.F, "base", G.F) is not G.F:
                 # tower fields: small chunks keep the shipped HLO under
