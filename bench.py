@@ -91,12 +91,25 @@ def main():
     # dispatch+fetch round-trip of the remote-TPU tunnel (measured by
     # scripts/dev_msm_phases.py measure_null) instead of paying it per
     # iteration, which would understate kernel throughput ~30%.
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = plan(xs, ys, inf, sc)
-    np.asarray(out[0][(0,) * out[0].ndim])
-    dt = (time.perf_counter() - t0) / iters
+    #
+    # Measured (round 5, /tmp/bench_bisect): the FIRST 8-iteration batch
+    # after a single warm-up run posts ~128 ms/iter; every later batch
+    # posts ~70 ms/iter — one executable run does not fully warm the
+    # remote-TPU path.  So: one full warm-up BATCH, then min-of-3 timed
+    # batches (min is also robust to transient host contention — this
+    # 1-core host starves the dispatch thread under any concurrent load,
+    # the round-4 467k/528k skews).
+    iters, batches = 8, 3
+
+    def timed_batch():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = plan(xs, ys, inf, sc)
+        np.asarray(out[0][(0,) * out[0].ndim])
+        return (time.perf_counter() - t0) / iters
+
+    timed_batch()  # warm-up batch (first-batch slow path, see above)
+    dt = min(timed_batch() for _ in range(batches))
 
     pts_per_s = n / dt
     print(json.dumps({

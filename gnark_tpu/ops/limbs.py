@@ -126,8 +126,13 @@ class FieldOps:
         # wide fields (BW6: 40-48 limbs): the fully-unrolled O(L^2)
         # schoolbook graph makes XLA compiles explode (measured 173s for
         # ONE L=48 mul vs 1.4s at L=16); roll the row loop into a
-        # fori_loop so the graph is O(L)
-        self._big = spec.L >= 24
+        # fori_loop so the graph is O(L).  GNARK_TPU_ROLLED_MUL=1 forces
+        # the rolled variant at every width — used by the multichip
+        # dryrun, whose XLA-CPU compiles of real-width (L=16) graphs on
+        # a 1-core host are wall-clock bound by graph size (the
+        # MULTICHIP_r04 timeout), not execution.
+        self._big = spec.L >= 24 or bool(
+            os.environ.get("GNARK_TPU_ROLLED_MUL"))
         self._p = np.asarray(spec.p_limbs, np.uint32)
         self._r2 = np.asarray(spec.r2_limbs, np.uint32)
         self._one = np.asarray(spec.one_mont, np.uint32)

@@ -247,12 +247,13 @@ class MSM:
                 _INTERPRET or self.R % 128 == 0)
             self.C = -(-n // self.R)
             self.n_pad = self.C * self.R
-            # chunk windows so the materialized prefix arrays stay under
-            # the HBM cap (matters at 2^20; one chunk at 2^16).  Peak
-            # live ~= prefix + its flat transpose copy + gathered sx/sy
-            # ~= 2.7x the prefix bytes, so 3.5 GB of prefix keeps peak
-            # under ~10 GB of the chip's 16 GB.  Round 1 used 1.5 GB
-            # (5-way chunking at 2^20 — the measured throughput dip).
+            # chunk windows so the materialized prefix-ROW arrays stay
+            # under the HBM cap (matters at 2^20; one chunk at 2^16).
+            # Row-gather peak-live model: the leaf kernel emits prefixes
+            # directly as [n_pad, 3L]-row arrays (no flat transpose
+            # copy), so peak ~= rows + the gathered sx/sy ~= 1.3x the
+            # row bytes; with the PADDED row width below, cap=3.5e9
+            # keeps peak under ~5 GB of the chip's 16 GB.
             import os as _os
             cap = float(_os.environ.get("GNARK_TPU_MSM_HBM_CAP", 3.5e9))
             # physical bytes per window of the prefix-ROW output: the
@@ -847,6 +848,14 @@ class MSM:
         ptrows = jnp.concatenate([xs.T, ysf.T], axis=1)
         return ptrows, digits, dsigns
 
+    def split_rows(self, rows):
+        """[nw, k, 3L] leaf-kernel point rows -> 3 x [L, nw, k] limb
+        planes (X, Y, Z).  Shared by _window_chunk and the dev/profiling
+        scripts (scripts/dev_msm_*.py) so layout changes stay in sync."""
+        L = self.G.F.L
+        t = jnp.transpose(rows, (2, 0, 1))
+        return (t[:L], t[L:2 * L], t[2 * L:])
+
     def _window_chunk(self, ptrows, dg, sg=None):
         """One window-chunk pipeline: sort+gather -> leaf prefix -> lane
         offsets -> bucket extraction -> weighted bucket sum.  Traceable;
@@ -867,11 +876,7 @@ class MSM:
         # prefix point ROWS [nw, C*R, 3L] (row j = cstep*R + r) straight
         # out of the leaf kernel — boundary lookups are row gathers
         rows = self._leaf_prefix_pallas(sx, sy, nw)
-
-        def split_rows(g):
-            """[nw, k, 3L] point rows -> 3 x [L, nw, k] limb planes."""
-            t = jnp.transpose(g, (2, 0, 1))
-            return (t[:L], t[L:2 * L], t[2 * L:])
+        split_rows = self.split_rows
 
         # lane totals (prefix at cstep = C-1: the last R rows)
         totals = split_rows(rows[:, (C - 1) * R:, :])

@@ -85,19 +85,16 @@ def main():
 
     def cut_lane(ptrows, dg, sg=None):
         sx, sy, d_sorted = plan._sort_gather(ptrows, dg, nw, sg)
-        prefix = plan._leaf_prefix_pallas(sx, sy, nw)
-        totals = tuple(
-            jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
+        rows = plan._leaf_prefix_pallas(sx, sy, nw)
+        totals = plan.split_rows(rows[:, (C - 1) * R:, :])
         return plan._lane_offsets_pallas(totals, nw)
 
     def cut_buckets(ptrows, dg, sg=None):
         sx, sy, d_sorted = plan._sort_gather(ptrows, dg, nw, sg)
-        prefix = plan._leaf_prefix_pallas(sx, sy, nw)
-        totals = tuple(
-            jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
+        rows = plan._leaf_prefix_pallas(sx, sy, nw)
+        totals = plan.split_rows(rows[:, (C - 1) * R:, :])
         offs = plan._lane_offsets_pallas(totals, nw)
-        flat = tuple(
-            jnp.moveaxis(a, 2, 0).reshape(L, nw, C * R) for a in prefix)
+        orows = jnp.transpose(jnp.concatenate(offs, axis=0), (1, 2, 0))
         bvals = jnp.arange(0, nb + 1, dtype=jnp.int32)
         ends = jax.vmap(
             lambda d: jnp.searchsorted(d, bvals, side="right"))(
@@ -106,10 +103,11 @@ def main():
         def prefix_total(i):
             gi = jnp.maximum(i, 0)
             j = (gi % C) * R + gi // C
-            idx = jnp.broadcast_to(j[None], (L,) + j.shape)
-            Pp = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
-            lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
-            O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
+            Pp = plan.split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(rows, j))
+            O = plan.split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(
+                    orows, gi // C))
             T = plan.GC.add(Pp, O)
             valid = (i >= 0)[None]
             return (jnp.where(valid, T[0], 0), T[1],

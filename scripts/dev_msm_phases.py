@@ -115,15 +115,14 @@ def main():
     nwin = nw  # phase timings below are per-chunk
 
     leaf = jax.jit(lambda a, b: plan._leaf_prefix_pallas(a, b, nwin))
-    prefix = timeit("leaf kernel (pallas)", leaf, sx, sy)
+    rows = timeit("leaf kernel (pallas)", leaf, sx, sy)
 
     @jax.jit
-    def lane_fn(px, py, pz):
-        prefix = (px, py, pz)
-        totals = tuple(jnp.transpose(a[:, C - 1], (1, 0, 2)) for a in prefix)
+    def lane_fn(rows):
+        totals = plan.split_rows(rows[:, (C - 1) * R:, :])
         return plan._lane_offsets_pallas(totals, nwin)
 
-    offs = timeit("lane-offset scan (pallas)", lane_fn, *prefix)
+    offs = timeit("lane-offset scan (pallas)", lane_fn, rows)
 
     bvals = jnp.arange(1, nb + 1, dtype=jnp.int32)
 
@@ -138,18 +137,18 @@ def main():
     GC = plan.GC
 
     @jax.jit
-    def bucket_fn(px, py, pz, ox, oy, oz, ends, starts):
-        prefix = (px, py, pz)
+    def bucket_fn(rows, ox, oy, oz, ends, starts):
         offs = (ox, oy, oz)
-        flat = tuple(jnp.moveaxis(a, 2, 0).reshape(L, nwin, C * R) for a in prefix)
+        orows = jnp.transpose(jnp.concatenate(offs, axis=0), (1, 2, 0))
 
         def prefix_total(i):
             gi = jnp.maximum(i, 0)
             j = (gi % C) * R + gi // C
-            idx = jnp.broadcast_to(j[None], (L,) + j.shape)
-            Pp = tuple(jnp.take_along_axis(a, idx, axis=2) for a in flat)
-            lane = jnp.broadcast_to((gi // C)[None], (L,) + gi.shape)
-            O = tuple(jnp.take_along_axis(a, lane, axis=2) for a in offs)
+            Pp = plan.split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(rows, j))
+            O = plan.split_rows(
+                jax.vmap(lambda r, e: jnp.take(r, e, axis=0))(
+                    orows, gi // C))
             T = GC.add(Pp, O)
             valid = (i >= 0)[None]
             return (jnp.where(valid, T[0], 0), T[1],
@@ -157,7 +156,7 @@ def main():
 
         return GC.add(prefix_total(ends), GC.neg(prefix_total(starts)))
 
-    buckets = timeit("bucket extraction", bucket_fn, *prefix, *offs, ends, starts)
+    buckets = timeit("bucket extraction", bucket_fn, rows, *offs, ends, starts)
 
     wsum = jax.jit(lambda bx, by, bz: plan._weighted_sum_pallas(
         (bx, by, bz), nwin))

@@ -123,10 +123,12 @@ elif which == "leaf":
     sy = fp.pack([pts[i][1] for i in idx]).reshape(L, nw, C, R)
     sx = jnp.transpose(sx, (1, 2, 0, 3))
     sy = jnp.transpose(sy, (1, 2, 0, 3))
-    prefix = plan._leaf_prefix_pallas(sx, sy, nw)
-    # prefix [nw, C, L, R]: check lane r of window w at step cs equals
-    # sum of points [w, 0..cs, r]
-    Pp = tuple(jnp.transpose(a, (2, 0, 1, 3)) for a in prefix)  # [L,nw,C,R]
+    rows = plan._leaf_prefix_pallas(sx, sy, nw)
+    # rows [nw, C*R, 3L] (row j = cs*R + r): check lane r of window w at
+    # step cs equals sum of points [w, 0..cs, r].  Flat index of the
+    # split planes [L, nw, C*R] is w*(C*R) + cs*R + r = (w*C + cs)*R + r
+    # — identical to the old [L, nw, C, R] flat order below.
+    Pp = plan.split_rows(rows)                                  # [L,nw,C*R]
     got = unpack_affine(Pp, range(nw * C * R))
     ok = True
     for w in range(nw):
