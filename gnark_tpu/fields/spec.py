@@ -42,8 +42,18 @@ class FieldSpec:
 
     @functools.cached_property
     def L(self) -> int:
-        """Number of 16-bit limbs (rounded up to a multiple of 4 for tiling)."""
+        """Number of 16-bit limbs (rounded up to a multiple of 4 for tiling).
+
+        At least one SLACK BIT above the modulus is required: the device
+        kernels hold conditional-subtract intermediates < 2p (add, and
+        the Montgomery REDC pre-subtract value), so 2p must fit in the
+        limb planes.  A modulus that exactly fills its limbs (e.g. the
+        64-bit Goldilocks prime in 4 limbs) silently wraps — caught by
+        differential test round 5 (mul/add/inv wrong for values near p)
+        — so such moduli get an extra limb."""
         raw = -(-self.bits // W)
+        if self.bits == W * raw:    # no slack bit: 2p overflows
+            raw += 1
         return ((raw + 3) // 4) * 4
 
     @functools.cached_property

@@ -113,3 +113,4 @@ def test_predicates():
     assert list(np.asarray(F.eq(a, b))) == [True, False, True, False]
     sel = F.select(np.array([True, False, True, False]), a, b)
     assert F.unpack(sel) == [0, 2, 5, 7]
+

@@ -227,3 +227,92 @@ def test_signed_windowed_msm_interpret_end_to_end():
         assert got == want
     finally:
         msm_mod._INTERPRET = old
+
+
+@pytest.mark.slow
+def test_signed_windowed_msm_interpret_smoke_smallfield():
+    """Small-field smoke of the FULL signed windowed-Pallas pipeline
+    (sort+gather -> leaf prefix -> lane offsets -> row-gather bucket
+    extraction -> weighted sum -> Horner) vs the host oracle, with the
+    Pallas kernels in interpret mode.
+
+    ADVICE r4: the only CPU-runnable e2e of this pipeline lives in the
+    slow tier (the BN254-width interpret graph compiles for tens of
+    minutes; the /verify drive's 43-window variant was OOM-killed at
+    130 GB).  A 4-limb 62-bit field with 16-bit scalars shrinks every
+    field-mul subgraph ~16x and the window count to 5, keeping the
+    unrolled interpret graph default-tier compilable while driving the
+    identical pipeline code.  (62-bit, not 64-bit Goldilocks: the limb
+    count must leave a slack bit — the very bug this config caught in
+    round 5, fields/spec.py L — and 64-bit moduli now take 8 limbs.)"""
+    import gnark_tpu.ops.msm as msm_mod
+    from gnark_tpu import fields
+    from gnark_tpu.curves.host import HostCurve, HostFp
+
+    gl = fields.FieldSpec(name="p62_msm_smoke",
+                          modulus=(1 << 62) - 57,    # prime, L = 4
+                          multiplicative_generator=3)
+    assert gl.L == 4
+    F = field_ops(gl)
+    G = CurveOps(F, b=1)               # y^2 = x^3 + 1
+    host = HostCurve(HostFp(gl.modulus), 1)
+    # a point whose first 200 multiples are all finite (small x like
+    # (2, 3) land in tiny-order subgroups on this curve)
+    gen = (3, 1159191455696576622)
+    assert host.is_on_curve(gen)
+
+    n = 16
+    rng = np.random.default_rng(13)
+    pts, P = [], gen
+    for _ in range(n):
+        pts.append(P)
+        P = host.add(P, gen)
+    scalars = [int(x) for x in rng.integers(1, 1 << 16, size=n)]
+    scalars[0] = 0                     # zero scalar
+    scalars[1] = (1 << 16) - 1         # saturated windows
+    pts[5] = pts[4]                    # repeated point
+    inf = np.zeros((n,), bool)
+    inf[7] = True                      # infinity input
+    xs = F.pack([p[0] for p in pts])
+    ys = F.pack([p[1] for p in pts])
+    sc = jnp.asarray(gl.to_limbs(scalars, montgomery=False))[:1]
+
+    want = None
+    for i, (p, s) in enumerate(zip(pts, scalars)):
+        if not inf[i] and s:
+            want = host.add(want, host.scalar_mul(p, s))
+
+    old = msm_mod._INTERPRET
+    msm_mod._INTERPRET = True
+    try:
+        plan = MSM(G, n, 1, c=4, lanes=8, method="window_pallas",
+                   signed=True)
+        assert plan.signed and plan.nwin == 5
+        out = plan(xs, ys, jnp.asarray(inf), sc)
+    finally:
+        msm_mod._INTERPRET = old
+    q = gl.modulus
+    X, Y, Z = (F.unpack(np.asarray(a))[0] for a in out)
+    zi = pow(Z, -1, q)
+    got = (X * zi * zi % q, Y * zi * zi * zi % q)
+    assert got == want
+
+
+def test_limb_count_reserves_slack_bit():
+    """A modulus that exactly fills its limbs must get an extra limb:
+    the kernels hold conditional-subtract intermediates < 2p (add, and
+    the Montgomery REDC pre-subtract), so 2p must be representable.
+    The 64-bit Goldilocks prime in exactly 4 limbs silently wrapped —
+    mul/add/inv wrong for values near p (round-5 differential catch;
+    full-pipeline coverage in test_msm_sortgather's small-field smoke)."""
+    from gnark_tpu.fields import ALL_FIELDS, FieldSpec
+
+    gl = FieldSpec(name="gl_slack", modulus=(1 << 64) - (1 << 32) + 1,
+                   multiplicative_generator=7)
+    assert gl.bits == 64 and gl.L == 8          # bumped past 4
+    assert 2 * gl.modulus < 1 << (16 * gl.L)    # 2p fits
+    p62 = FieldSpec(name="p62_slack", modulus=(1 << 62) - 57,
+                    multiplicative_generator=3)
+    assert p62.L == 4                           # 2 slack bits: no bump
+    for spec in ALL_FIELDS.values():
+        assert 2 * spec.modulus < 1 << (16 * spec.L)
