@@ -62,9 +62,16 @@ def main():
               "(loaded from key_io cache)", flush=True)
     else:
         t0 = time.perf_counter()
-        pk, vk = groth16.setup(cs, curve, rng=random.Random(42))
+        # host=True + pk_to_device (the dryrun_multichip pattern): the
+        # native-C fixed-base core builds the key, pure packing moves it
+        # to device.  The device fixed-base route's to_affine/batch_inv
+        # graph at 2^20 width OOM-kills the remote compile helper
+        # (SIGKILL, measured round 5); the prove path — the artifact's
+        # headline — is unaffected.
+        pk, vk = groth16.setup(cs, curve, rng=random.Random(42), host=True)
+        pk = groth16.pk_to_device(pk)
         print(f"[setup]   {time.perf_counter() - t0:.1f}s (native QAP + "
-              "device fixed-base keys)", flush=True)
+              "native-C fixed-base keys, packed to device)", flush=True)
         t0 = time.perf_counter()
         key_io.groth16_pk_write(pk, cache + ".npz")
         with open(cache + ".vk", "wb") as f:
